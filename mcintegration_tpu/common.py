@@ -1,0 +1,35 @@
+"""Shared constants and small helpers.
+
+Counterparts in the reference implementation (MCIntegration.jl):
+- ``TINY``/``EPSILON`` constants: /root/reference/src/MCIntegration.jl:10-12.
+
+The framework splits math across two precision domains:
+
+- **Host domain** (numpy, float64): everything sequential and tiny — grid
+  training, reweighting, per-iteration statistics, chi^2 pooling.  This is
+  where the reference's accuracy-sensitive scalar math lives, and float64 is
+  free on the host.
+- **Device domain** (JAX, float32 by default): the embarrassingly parallel
+  sampling / integrand-evaluation / accumulation path.  Accumulators use
+  compensated (Kahan) summation so that float32 block sums at 1e8+ samples
+  do not lose precision (see :mod:`mcintegration_tpu.ops.ksum`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Reference: TINY = eps(Float64(0)) * 1e50 ≈ 4.94e-274 (MCIntegration.jl:11)
+# used as a floor for probabilities on the host side.
+TINY = np.finfo(np.float64).tiny * 1e-16  # conservative tiny float64
+EPSILON = np.finfo(np.float64).eps
+
+# Device-side (float32) floor used when guarding divisions / logs.
+TINY_F32 = 1e-30
+
+# Default pool size, mirrors Dist.MaxOrder (distribution.jl).
+MAX_ORDER = 16
+
+
+def asarray_f64(x):
+    return np.asarray(x, dtype=np.float64)

@@ -1,0 +1,250 @@
+"""The ``integrate`` driver — user entry point.
+
+Reference: ``integrate`` (src/main.jl:71-218).  The iteration structure is
+preserved — niter rounds of (blocks -> reduce -> reweight -> train) — but the
+parallel decomposition is TPU-native (SURVEY.md §2.3): blocks are vmapped
+lanes sharded over a 1-D device mesh, per-iteration statistics come back
+through a single collective, and every host/devicen computes identical
+reweight/train updates (no root/worker asymmetry).
+
+Host-side per-iteration math (reweighting src/main.jl:322-356, block
+statistics src/main.jl:296-320, grid training) runs in float64 numpy.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .configuration import Configuration
+from .statistics import Result, mean_std, report
+from .solvers.engine import Spec
+from .solvers.vegas import VegasIteration
+from .utils import ProgressBar, StopWatch, green, red, yellow
+from .parallel.mesh import default_mesh
+
+
+def _standardize_block(neval, nblock, nworker):
+    """Round block count to a multiple of the worker count.
+
+    Reference: _standardize_block (src/main.jl:220-234) with MPI ranks
+    replaced by mesh devices.
+    """
+    neval = int(neval)
+    nblock = int(nblock)
+    assert neval > nblock, f"neval={neval} should be larger than block={nblock}"
+    if nblock > nworker:
+        nblock = (nblock // nworker) * nworker
+    else:
+        nblock = nworker
+    nevalperblock = neval // nblock
+    return nevalperblock, nblock
+
+
+def do_reweight(config: Configuration, gamma: float, reweight_goal):
+    """Visited-count reweighting (src/main.jl:322-346)."""
+    avgstep = float(np.sum(config.visited))
+    for vi in range(len(config.visited)):
+        v = config.visited[vi]
+        if v <= 1:
+            config.reweight[vi] *= avgstep**gamma
+        else:
+            config.reweight[vi] *= (avgstep / v) ** gamma
+    if reweight_goal is not None:
+        goal = np.asarray(reweight_goal, dtype=np.float64)
+        config.reweight *= goal / goal.sum()
+    config.reweight /= config.reweight.sum()
+
+
+def integrate(integrand: Callable, *,
+              solver: str = "vegasmc",
+              config: Optional[Configuration] = None,
+              neval=1e4,
+              niter: int = 10,
+              block: int = 16,
+              verbose: int = -1,
+              gamma: float = 1.0,
+              adapt: bool = True,
+              debug: bool = False,
+              reweight_goal=None,
+              ignore: Optional[int] = None,
+              measure: Optional[Callable] = None,
+              measurefreq: int = 1,
+              thermal_ratio: float = 0.1,
+              inplace: bool = False,
+              parallel: str = "auto",
+              print: int = -1,  # legacy alias of verbose (src/main.jl:92-93)
+              timer=None,
+              mesh=None,
+              nwalkers: Optional[int] = None,
+              min_steps_per_walker: int = 256,
+              dtype=jnp.float32,
+              **kwargs):
+    """Calculate the integrals; returns a :class:`Result`.
+
+    Mirrors the reference keyword surface (src/main.jl:71-90); extra
+    TPU-specific knobs: ``mesh`` (a jax Mesh whose first axis shards the
+    block/walker dimension), ``nwalkers``/``min_steps_per_walker`` (Markov
+    solvers), ``dtype`` (device compute dtype).
+    ``kwargs`` are passed through to :class:`Configuration`.
+    """
+    verbose = max(print, verbose)
+    if config is None:
+        config = Configuration(**kwargs)
+    if gamma > 1.0 and verbose >= 0:
+        import sys
+        sys.stderr.write(red("learning rate gamma should be less than 1.0") + "\n")
+    if ignore is None:
+        ignore = 1 if adapt else 0
+
+    timers = list(timer) if timer is not None else []
+    if verbose > 0:
+        timers.append(StopWatch(verbose, lambda cfg, *_: cfg.report()))
+
+    if mesh is None and parallel == "auto":
+        mesh = default_mesh()
+    nworker = 1
+    if mesh is not None:
+        nworker = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    nevalperblock, block = _standardize_block(neval, block, nworker)
+
+    weight_dtype = jnp.complex64 if config.type is complex else dtype
+    spec = Spec(config, dtype=dtype)
+
+    solver = str(solver).lstrip(":")
+    if solver == "vegas":
+        it_kernel = VegasIteration(
+            spec, integrand, measure=measure, inplace=inplace,
+            measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
+            mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable)
+    elif solver == "vegasmc":
+        from .solvers.vegasmc import VegasMCIteration
+        it_kernel = VegasMCIteration(
+            spec, integrand, measure=measure, inplace=inplace,
+            measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
+            mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable,
+            nwalkers=nwalkers, min_steps_per_walker=min_steps_per_walker)
+    elif solver == "mcmc":
+        from .solvers.mcmc import MCMCIteration
+        it_kernel = MCMCIteration(
+            spec, integrand, measure=measure,
+            measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
+            mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable,
+            thermal_ratio=thermal_ratio,
+            nwalkers=nwalkers, min_steps_per_walker=min_steps_per_walker)
+    else:
+        raise ValueError(f"Solver {solver} is not supported!")
+
+    base_key = jax.random.key(config.seed)
+    progress = ProgressBar(niter * block, desc=f"iters x blocks: ",
+                           enabled=(verbose >= -1))
+
+    start = time.time()
+    results = []
+    for it in range(niter):
+        params = spec.device_params()
+        key = jax.random.fold_in(base_key, it)
+        stats = it_kernel.run(params, key)
+
+        # ---- merge device statistics into the host config (the reference's
+        # addConfig!/MPIreduceConfig! step, configuration.jl:238-299) ----
+        config.neval += stats["neval"]
+        for lidx, (_, leaf) in enumerate(config.var_leaves()):
+            leaf.add_statistics(stats["hists"][lidx])
+        if "visited" in stats:
+            config.visited += stats["visited"]
+        if "propose" in stats:
+            config.propose += stats["propose"]
+            config.accept += stats["accept"]
+
+        norm_b = stats["norm_blocks"]
+        if not np.all(norm_b > 0):
+            raise RuntimeError(
+                f"Block normalization = {norm_b.min()} is not positively defined!")
+        config.normalization += float(norm_b.sum())
+
+        # ---- block statistics (src/main.jl:275-287, 296-320) ----
+        obs_blocks = stats["obs_blocks"]  # pytree, leading axis [block]
+        obs_sum, obs_sq = [], []
+        for o in range(config.N):
+            ob = _to_numpy(_component(obs_blocks, o))
+            m = _divide_norm(ob, norm_b)
+            s = _tree_sum_blocks(m)
+            sq = _tree_sq_sum_blocks(m)
+            obs_sum.append(s)
+            obs_sq.append(sq)
+        means, stds = mean_std(obs_sum, obs_sq, block)
+
+        # ---- self-learning (src/main.jl:183-199) ----
+        if solver in ("mcmc", "vegasmc"):
+            do_reweight(config, gamma, reweight_goal)
+        if adapt:
+            for v in config.var:
+                v.train()
+
+        results.append((means, stds, _ConfigSnapshot(config, stats["neval"])))
+        progress.update(block, evals=stats["neval"])
+        for t in timers:
+            t.check(config)
+
+    result = Result(results, ignore, config=config)
+    if verbose >= 0:
+        report(result)
+        if verbose > 0:
+            import sys
+            sys.stdout.write(yellow(
+                f"Total time: {time.time() - start:.2f} seconds.\n"))
+    return result
+
+
+def _component(obs_blocks, o: int):
+    """Extract integrand o's sub-tree from the per-block observable pytree."""
+    if isinstance(obs_blocks, (list, tuple)):
+        return obs_blocks[o]
+    # default measure: single array [block, N]
+    arr = np.asarray(obs_blocks)
+    return arr[:, o]
+
+
+def _to_numpy(x):
+    return jax.tree_util.tree_map(lambda a: np.asarray(a), x)
+
+
+def _divide_norm(ob, norm_b):
+    def f(a):
+        a = np.asarray(a, dtype=np.complex128 if np.iscomplexobj(a) else np.float64)
+        shape = (-1,) + (1,) * (a.ndim - 1)
+        return a / norm_b.reshape(shape)
+    return jax.tree_util.tree_map(f, ob)
+
+
+def _tree_sum_blocks(m):
+    return jax.tree_util.tree_map(lambda a: a.sum(axis=0), m)
+
+
+def _tree_sq_sum_blocks(m):
+    def f(a):
+        if np.iscomplexobj(a):
+            return (a.real**2 + 1j * a.imag**2).sum(axis=0)
+        return (a**2).sum(axis=0)
+    return jax.tree_util.tree_map(f, m)
+
+
+class _ConfigSnapshot:
+    """Cheap per-iteration config snapshot for the Result history.
+
+    Carries this iteration's eval count (so Result.neval sums correctly) and
+    the trained reweight/visited at that point.
+    """
+
+    def __init__(self, config, iter_neval: int):
+        self.N = config.N
+        self.neval = int(iter_neval)
+        self.dof = config.dof
+        self.reweight = config.reweight.copy()
+        self.visited = config.visited.copy()

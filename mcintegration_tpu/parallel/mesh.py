@@ -1,0 +1,64 @@
+"""Device mesh + collectives plumbing.
+
+TPU-native replacement for the reference MPI layer
+(/root/reference/src/utility/parallel.jl): the block/walker axis is sharded
+over a 1-D mesh spanning every device (ICI within a slice, DCN across
+slices), and the per-iteration statistics reduction — everything
+``MPIreduceConfig!`` + ``MPIbcastConfig!`` used to move (configuration.jl:
+264-321) — is a single ``psum`` inside the solver kernels, after which every
+host deterministically computes identical reweight/train updates.
+
+``jax.distributed.initialize()`` is invoked lazily for multi-host runs,
+mirroring the reference's lazy ``MPI.Init()`` (parallel.jl:5-17).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, PartitionSpec
+
+
+_DISTRIBUTED_INITIALIZED = False
+
+BLOCK_AXIS = "blocks"
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Lazy multi-host initialization (call once per process before work)."""
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return
+    if coordinator is not None or "JAX_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    _DISTRIBUTED_INITIALIZED = True
+
+
+def default_mesh() -> Optional[Mesh]:
+    """1-D mesh over every available device; None for a single device."""
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    return Mesh(np.asarray(devices), (BLOCK_AXIS,))
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = BLOCK_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def mesh_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None:
+        return 1
+    return int(np.prod([mesh.shape[a] for a in mesh.axis_names]))

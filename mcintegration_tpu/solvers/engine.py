@@ -1,0 +1,293 @@
+"""Shared device-side machinery for the three solvers.
+
+Compiles a :class:`~mcintegration_tpu.configuration.Configuration` into a
+static :class:`Spec` (shapes, dof masks, leaf layout) plus per-iteration
+device parameters (grids/CDFs/reweight as jnp arrays), and provides the
+batched pool-state primitives that replace the reference's mutate-in-place
+pool operations (src/distribution/sampler.jl):
+
+- pools are dicts of dense arrays ``{"val": [..., nslots(, D)],
+  "gidx": [..., ndraw], "prob": [..., ndraw]}`` per leaf, batched over
+  walkers/samples;
+- ``probability`` / ``padding_probability`` (src/distribution/variable.jl:
+  587-678) become masked products over a static dof mask;
+- histogram accumulation (variable.jl:196-200, 362-367) becomes a
+  scatter-add over gidx with solver-specific weights.
+
+User integrands are pure JAX functions evaluated under ``vmap`` over the
+sample batch — the key architectural inversion vs the reference's
+one-point-per-call closure (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configuration import Configuration
+from ..models.variable import CompositeVar, FermiK, leaves_of
+
+
+class UserConfig:
+    """The lightweight config object passed into user integrands.
+
+    Exposes the commonly used attributes of the reference ``Configuration``
+    (userdata, dof, N, norm, maxdof).  It is a static trace-time object; any
+    arrays inside ``userdata`` become constants of the compiled kernel.
+    """
+
+    def __init__(self, cfg: Configuration):
+        self.userdata = cfg.userdata
+        self.dof = cfg.dof
+        self.N = cfg.N
+        self.norm = cfg.norm
+        self.maxdof = cfg.maxdof
+
+
+class WeightBuffer:
+    """Mutable weights buffer shim for ``inplace=True`` integrands.
+
+    The reference's inplace mode writes weights into a preallocated array
+    (src/vegas/montecarlo.jl:141-144); in JAX the same user code shape works
+    by recording the assignments at trace time.
+    """
+
+    def __init__(self, n: int, dtype):
+        self.n = n
+        self.dtype = dtype
+        self._vals = [jnp.zeros((), dtype)] * n
+
+    def __setitem__(self, i, v):
+        self._vals[i] = v
+
+    def __getitem__(self, i):
+        return self._vals[i]
+
+    def __len__(self):
+        return self.n
+
+    def stack(self):
+        return jnp.stack([jnp.asarray(v, self.dtype) for v in self._vals])
+
+
+@dataclasses.dataclass
+class LeafInfo:
+    group: int          # which var-type (dof column) this leaf belongs to
+    leaf: Any           # the host-side variable object
+    offset: int         # leading user-pinned slots
+    ndraw: int          # = maxdof of the group: slots the MC owns
+    nslots: int         # offset + ndraw (visible to the integrand)
+    nhist: int          # histogram bins
+
+
+class Spec:
+    """Static compilation of a Configuration for device kernels."""
+
+    def __init__(self, cfg: Configuration, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.N = cfg.N
+        self.norm = cfg.norm
+        self.nvar = cfg.nvar
+        self.maxdof = list(cfg.maxdof)
+        self.uconfig = UserConfig(cfg)
+
+        self.leaves: List[LeafInfo] = []
+        self.group_leaves: List[List[int]] = [[] for _ in range(cfg.nvar)]
+        for gi, v in enumerate(cfg.var):
+            for leaf in leaves_of(v):
+                li = LeafInfo(
+                    group=gi,
+                    leaf=leaf,
+                    offset=getattr(leaf, "offset", 0),
+                    ndraw=cfg.maxdof[gi],
+                    nslots=getattr(leaf, "offset", 0) + cfg.maxdof[gi],
+                    nhist=leaf.nhist,
+                )
+                self.group_leaves[gi].append(len(self.leaves))
+                self.leaves.append(li)
+
+        nd = cfg.N + 1
+        # dof mask [nd, nvar, max_maxdof]: True where slot pos < dof[i][v]
+        mm = max(self.maxdof) if self.maxdof else 0
+        self.max_maxdof = mm
+        used = np.zeros((nd, cfg.nvar, max(mm, 1)), dtype=bool)
+        for i in range(nd):
+            for v in range(cfg.nvar):
+                used[i, v, : cfg.dof[i][v]] = True
+        self.mask_used = jnp.asarray(used)
+        # padding mask: slot used by the FULL space but not by integrand i
+        full = np.zeros((cfg.nvar, max(mm, 1)), dtype=bool)
+        for v in range(cfg.nvar):
+            full[v, : cfg.maxdof[v]] = True
+        self.mask_pad = jnp.asarray(full[None, :, :] & ~used)
+        self.mask_full = jnp.asarray(full)
+        # integrands whose dof == maxdof need no padding factor (all True rows)
+        self.pad_trivial = [bool(np.all(~(full[None] & ~used)[i])) for i in range(nd)]
+        self.all_pad_trivial = all(self.pad_trivial[: cfg.N + 1])
+
+        self.dof_np = np.asarray(cfg.dof, dtype=np.int32)  # [nd, nvar]
+
+    # ------------------------------------------------------------------
+    def device_params(self):
+        """Per-iteration device constants: leaf map params + reweight."""
+        return {
+            "leaf": [li.leaf.device_params(self.dtype) for li in self.leaves],
+            "reweight": jnp.asarray(self.cfg.reweight, self.dtype),
+        }
+
+    def fixed_leaf_values(self, li: LeafInfo):
+        fv = li.leaf.fixed_values()
+        return jnp.asarray(fv[: li.offset])
+
+    # ------------------------------------------------------------------
+    # pool state: list over leaves of {"val","gidx","prob"}
+    # ------------------------------------------------------------------
+    def draw_all(self, params, key, batch_shape: Tuple[int, ...]):
+        """Fresh draw of every MC-owned slot of every leaf (initialize!).
+
+        Reference: Dist.initialize! (variable.jl:576-580).
+        Returns pools: list of dicts with val [..., ndraw(,D)],
+        gidx [..., ndraw] int32, prob [..., ndraw].
+        """
+        pools = []
+        for i, li in enumerate(self.leaves):
+            k = jax.random.fold_in(key, i)
+            shape = batch_shape + (li.ndraw,)
+            val, gidx, prob = li.leaf.dev_draw(params["leaf"][i], k, shape)
+            pools.append({"val": val, "gidx": gidx, "prob": prob})
+        return pools
+
+    def view(self, pools, sample_idx=None):
+        """Build the user-facing variable view for one sample.
+
+        ``pools`` must already be per-sample (no batch dims) — solvers vmap
+        the integrand over the batch.  A leaf view is the full slot array:
+        fixed offset slots followed by the drawn slots.
+        """
+        views = []
+        for gi, v in enumerate(self.cfg.var):
+            member_views = []
+            for lidx in self.group_leaves[gi]:
+                li = self.leaves[lidx]
+                drawn = pools[lidx]["val"]
+                if li.offset > 0:
+                    fixed = self.fixed_leaf_values(li)
+                    full = jnp.concatenate([fixed, drawn], axis=0)
+                else:
+                    full = drawn
+                member_views.append(full)
+            if isinstance(v, CompositeVar):
+                views.append(tuple(member_views))
+            else:
+                views.append(member_views[0])
+        if len(views) == 1:
+            return views[0]
+        return tuple(views)
+
+    # ------------------------------------------------------------------
+    # probability algebra (reference variable.jl:587-678)
+    # ------------------------------------------------------------------
+    def slot_probs(self, pools):
+        """Per-group slot probabilities [..., max_maxdof], padded with 1."""
+        mm = max(self.max_maxdof, 1)
+        out = []
+        for gi in range(self.nvar):
+            lidxs = self.group_leaves[gi]
+            p = pools[lidxs[0]]["prob"]
+            for lidx in lidxs[1:]:
+                p = p * pools[lidx]["prob"]
+            ndraw = self.leaves[lidxs[0]].ndraw
+            if ndraw < mm:
+                pad_shape = p.shape[:-1] + (mm - ndraw,)
+                p = jnp.concatenate([p, jnp.ones(pad_shape, p.dtype)], axis=-1)
+            out.append(p)
+        return jnp.stack(out, axis=-2)  # [..., nvar, mm]
+
+    def padding_probability(self, slotp, i: int):
+        """prod of probs over slots NOT used by integrand i (variable.jl:628-641)."""
+        if self.pad_trivial[i]:
+            return jnp.ones(slotp.shape[:-2], slotp.dtype)
+        m = self.mask_pad[i]
+        return jnp.prod(jnp.where(m, slotp, 1.0), axis=(-1, -2))
+
+    def probability(self, slotp, i: int):
+        """prod of probs over slots used by integrand i (variable.jl:606-619)."""
+        m = self.mask_used[i]
+        return jnp.prod(jnp.where(m, slotp, 1.0), axis=(-1, -2))
+
+    def total_probability(self, slotp):
+        m = self.mask_full
+        return jnp.prod(jnp.where(m, slotp, 1.0), axis=(-1, -2))
+
+    # ------------------------------------------------------------------
+    # integrand evaluation
+    # ------------------------------------------------------------------
+    def make_eval(self, integrand: Callable, inplace: bool, weight_dtype):
+        """Return f(pools_per_sample) -> weights [N] for vegas/vegasmc."""
+        uc = self.uconfig
+        n = self.N
+
+        def _eval(pools):
+            v = self.view(pools)
+            if inplace:
+                buf = WeightBuffer(n, weight_dtype)
+                integrand(v, buf, uc)
+                return buf.stack()
+            w = integrand(v, uc)
+            return pack_weights(w, n, weight_dtype)
+
+        return _eval
+
+    def make_eval_one(self, integrand: Callable, idx: int, weight_dtype):
+        """Return f(pools_per_sample) -> scalar weight of integrand ``idx``
+        (mcmc convention: integrand(idx, var, config), mcmc/montecarlo.jl:34)."""
+        uc = self.uconfig
+
+        def _eval(pools):
+            v = self.view(pools)
+            w = integrand(idx, v, uc)
+            return jnp.asarray(w, weight_dtype)
+
+        return _eval
+
+
+def pack_weights(w, n: int, dtype):
+    """Normalize a user integrand return (scalar/tuple/list/array) to [n]."""
+    if isinstance(w, (tuple, list)):
+        assert len(w) == n, f"integrand returned {len(w)} weights, expected {n}"
+        return jnp.stack([jnp.asarray(x, dtype) for x in w])
+    w = jnp.asarray(w, dtype)
+    if w.ndim == 0:
+        assert n == 1, f"integrand returned a scalar but {n} integrands are defined"
+        return w[None]
+    assert w.shape == (n,), f"integrand returned shape {w.shape}, expected ({n},)"
+    return w
+
+
+def accumulate_hists(spec: Spec, hists, pools, slot_weights):
+    """Scatter-add per-leaf histogram contributions.
+
+    ``slot_weights``: [batch..., nvar, max_maxdof] accumulation weight for
+    each (group, slot); each leaf of a group receives the same weight at its
+    own gidx (CompositeVar accumulate! recursion, variable.jl:474-478).
+    Returns updated hists list (one [nhist] array per leaf, adapt-gated).
+    """
+    new_hists = []
+    for lidx, li in enumerate(spec.leaves):
+        h = hists[lidx]
+        if not getattr(li.leaf, "adapt", False):
+            new_hists.append(h)
+            continue
+        w = slot_weights[..., li.group, : li.ndraw]
+        gidx = pools[lidx]["gidx"]
+        new_hists.append(h.at[gidx.reshape(-1)].add(w.reshape(-1).astype(h.dtype)))
+    return new_hists
+
+
+def zero_hists(spec: Spec, dtype=jnp.float32):
+    return [jnp.zeros(li.nhist, dtype) for li in spec.leaves]
