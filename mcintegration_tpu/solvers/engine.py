@@ -269,6 +269,22 @@ def pack_weights(w, n: int, dtype):
     return w
 
 
+def gather_slot(arr, idx):
+    """arr [W, ndraw(, D)], idx [W] -> the per-walker slot entry [W(, D)]."""
+    if arr.ndim == 3:
+        return jnp.take_along_axis(arr, idx[:, None, None], axis=1)[:, 0]
+    return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+
+
+def scatter_slot(arr, idx, value):
+    """Functional update of one slot per walker."""
+    if arr.ndim == 3:
+        return jnp.put_along_axis(arr, idx[:, None, None],
+                                  value[:, None, :], axis=1, inplace=False)
+    return jnp.put_along_axis(arr, idx[:, None], value[:, None], axis=1,
+                              inplace=False)
+
+
 def accumulate_hists(spec: Spec, hists, pools, slot_weights):
     """Scatter-add per-leaf histogram contributions.
 
