@@ -412,10 +412,12 @@ class MCMCIteration:
                     check_vma=False,
                 )(params, keys)
 
+            self.raw_fn = sharded
             self._fn = jax.jit(sharded)
             self._ndev = ndev
         else:
-            self._fn = jax.jit(lambda params, keys: run_all(params, keys[0]))
+            self.raw_fn = lambda params, keys: run_all(params, keys[0])
+            self._fn = jax.jit(self.raw_fn)
             self._ndev = 1
 
     def run(self, params, key):

@@ -135,8 +135,10 @@ class VegasIteration:
                     check_vma=False,
                 )(params, block_keys)
 
+            self.raw_fn = sharded
             self._fn = jax.jit(sharded)
         else:
+            self.raw_fn = run_all
             self._fn = jax.jit(run_all)
 
     def run(self, params, key):
