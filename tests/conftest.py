@@ -16,6 +16,12 @@ if not os.environ.get("MCI_TEST_TPU"):
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
     )
+    # a pytest plugin may import jax before this conftest runs, baking the
+    # env vars in; config.update still works until backends initialize
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -121,8 +121,9 @@ def test_pool_autogrow():
 
 
 def test_train_clears_histogram():
-    v = Continuous(0.0, 1.0, ninc=10)
-    v.histogram[:] = np.linspace(1, 2, 10)
+    v = Continuous(0.0, 1.0, ninc=10)  # 10 grid points -> 9 bins (variable.jl:147-149)
+    assert v.histogram.shape == (9,)
+    v.histogram[:] = np.linspace(1, 2, 9)
     g0 = v.grid.copy()
     v.train()
     assert not np.allclose(v.grid, g0)
@@ -131,7 +132,7 @@ def test_train_clears_histogram():
 
 def test_nonadaptive_train_is_noop():
     v = Continuous(0.0, 1.0, adapt=False, ninc=10)
-    v.histogram[:] = np.linspace(1, 2, 10)
+    v.histogram[:] = np.linspace(1, 2, 9)
     g0 = v.grid.copy()
     v.train()
     np.testing.assert_array_equal(v.grid, g0)
