@@ -51,11 +51,14 @@ from ..common import MAX_ORDER
 from ..ops.grid import (
     build_cdf,
     sample_continuous,
+    sample_continuous_packed,
     sample_discrete,
+    sample_discrete_cdf,
     train_discrete,
     train_grid,
     uniform_open01,
 )
+from ..ops.lookup import pack_table, two_level_take
 
 HIST_FLOOR = 1.0e-10  # clearStatistics! floor (variable.jl:565)
 
@@ -160,10 +163,11 @@ class Continuous(_LeafVar):
 
     def device_params(self, dtype=jnp.float32):
         inc = np.diff(self.grid)  # float64 differences, then cast: no f32 cancellation
-        return {
-            "grid": jnp.asarray(self.grid, dtype),
-            "inc": jnp.asarray(inc, dtype),
-        }
+        # packed (grid_i, inc_i) rows for the MXU-native lookup (ops/lookup.py);
+        # pad inc with 1.0 so padded bins can never divide by zero
+        tab = np.stack([self.grid[:-1], inc], axis=1)
+        packed = pack_table(tab, pad_value=1.0)
+        return {"tab": jnp.asarray(packed, dtype)}
 
     def fixed_values(self, dtype=np.float32):
         """Deterministic initial values for offset (user-pinned) slots.
@@ -178,12 +182,11 @@ class Continuous(_LeafVar):
     # ---- device side ------------------------------------------------
     def dev_draw(self, params, key, shape):
         y = uniform_open01(key, shape)
-        x, gidx, prob = sample_continuous(y, params["grid"], params["inc"])
-        return x, gidx, prob
+        return sample_continuous_packed(y, params["tab"], self.ninc)
 
     def dev_density(self, params, value, gidx):
-        n = params["grid"].shape[0] - 1
-        return 1.0 / (n * jnp.take(params["inc"], gidx))
+        inc = two_level_take(params["tab"], gidx, 2)[..., 1]
+        return 1.0 / (self.ninc * inc)
 
     def dev_shift(self, params, key, value, gidx, prob):
         nv, ng, nprob = self.dev_draw(params, key, value.shape)
@@ -260,7 +263,7 @@ class Discrete(_LeafVar):
     def device_params(self, dtype=jnp.float32):
         return {
             "cdf": jnp.asarray(self.accumulation, dtype),
-            "dist": jnp.asarray(self.distribution, dtype),
+            "dist_tab": jnp.asarray(pack_table(self.distribution), dtype),
             "lower": jnp.int32(self.lower),
         }
 
@@ -272,12 +275,13 @@ class Discrete(_LeafVar):
     # ---- device side ------------------------------------------------
     def dev_draw(self, params, key, shape):
         u = uniform_open01(key, shape)
-        gidx, prob = sample_discrete(u, params["cdf"], params["dist"])
+        gidx, prob = sample_discrete_cdf(u, params["cdf"], params["dist_tab"],
+                                         self.nbin)
         value = params["lower"] + gidx
         return value, gidx, prob
 
     def dev_density(self, params, value, gidx):
-        return jnp.take(params["dist"], gidx)
+        return two_level_take(params["dist_tab"], gidx, 1)[..., 0]
 
     def dev_shift(self, params, key, value, gidx, prob):
         nv, ng, nprob = self.dev_draw(params, key, value.shape)

@@ -162,6 +162,43 @@ def uniform_open01(key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
     return ((bits >> jnp.uint32(8)).astype(dtype) + dtype(0.5)) * dtype(2.0 ** -24)
 
 
+def sample_continuous_packed(y: jax.Array, tab: jax.Array, ninc: int):
+    """Vegas-map draw through the two-level packed (grid, inc) table.
+
+    Same math as :func:`sample_continuous`, but the per-bin lookup goes
+    through :func:`mcintegration_tpu.ops.lookup.two_level_take`, which is the
+    MXU-native gather (ops/lookup.py) — bit-identical results, ~50x faster on
+    TPU than XLA's gather lowering.
+    """
+    from .lookup import two_level_take
+
+    t = y * ninc
+    iy = jnp.clip(t.astype(jnp.int32), 0, ninc - 1)
+    dy = t - iy.astype(t.dtype)
+    gi = two_level_take(tab, iy, 2)
+    x = gi[..., 0] + dy * gi[..., 1]
+    prob = 1.0 / (ninc * gi[..., 1])
+    return x, iy, prob
+
+
+def sample_discrete_cdf(u: jax.Array, cdf: jax.Array, dist_tab: jax.Array,
+                        nbin: int):
+    """Discrete draw: threshold-count CDF inversion + packed mass lookup.
+
+    gidx = #{k : cdf[k+1] <= u} (identical to bisection `locate`); the mass
+    lookup goes through the packed table.  Avoids both searchsorted and
+    gather on TPU.
+    """
+    from .lookup import two_level_take
+
+    gidx = jnp.sum(
+        (u[..., None] >= cdf[1:]).astype(jnp.int32), axis=-1
+    )
+    gidx = jnp.clip(gidx, 0, nbin - 1)
+    prob = two_level_take(dist_tab, gidx, 1)[..., 0]
+    return gidx, prob
+
+
 def sample_continuous(y: jax.Array, grid: jax.Array, inc: jax.Array):
     """Vegas-map inverse-CDF draw for a batch of uniforms ``y`` ∈ [0,1).
 

@@ -269,6 +269,39 @@ def pack_weights(w, n: int, dtype):
     return w
 
 
+_CPLX_RE = "__cplx_re__"
+_CPLX_IM = "__cplx_im__"
+
+
+def encode_complex(tree):
+    """Split complex leaves into real/imag pairs at the jit boundary.
+
+    Some TPU runtimes (e.g. the axon plugin) do not implement complex64
+    transfers or jit outputs, while complex *intermediates* inside a
+    compiled program work fine.  Solvers therefore keep complex math
+    internal and emit real pairs, decoded by :func:`decode_complex_numpy`.
+    """
+    def f(x):
+        if jnp.iscomplexobj(x):
+            return {_CPLX_RE: jnp.real(x), _CPLX_IM: jnp.imag(x)}
+        return x
+
+    return jax.tree_util.tree_map(f, tree)
+
+
+def decode_complex_numpy(tree):
+    """Inverse of :func:`encode_complex`, producing numpy arrays."""
+    def is_marker(x):
+        return isinstance(x, dict) and _CPLX_RE in x
+
+    def f(x):
+        if is_marker(x):
+            return np.asarray(x[_CPLX_RE]) + 1j * np.asarray(x[_CPLX_IM])
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(f, tree, is_leaf=is_marker)
+
+
 def gather_slot(arr, idx):
     """arr [W, ndraw(, D)], idx [W] -> the per-walker slot entry [W(, D)]."""
     if arr.ndim == 3:
@@ -291,8 +324,12 @@ def accumulate_hists(spec: Spec, hists, pools, slot_weights):
     ``slot_weights``: [batch..., nvar, max_maxdof] accumulation weight for
     each (group, slot); each leaf of a group receives the same weight at its
     own gidx (CompositeVar accumulate! recursion, variable.jl:474-478).
-    Returns updated hists list (one [nhist] array per leaf, adapt-gated).
+    Histograms are padded to a square size and updated through the factored
+    one-hot matmul (ops/lookup.py) — the MXU-native scatter-add.
+    Returns updated hists list (adapt-gated).
     """
+    from ..ops.lookup import onehot_accumulate
+
     new_hists = []
     for lidx, li in enumerate(spec.leaves):
         h = hists[lidx]
@@ -301,9 +338,11 @@ def accumulate_hists(spec: Spec, hists, pools, slot_weights):
             continue
         w = slot_weights[..., li.group, : li.ndraw]
         gidx = pools[lidx]["gidx"]
-        new_hists.append(h.at[gidx.reshape(-1)].add(w.reshape(-1).astype(h.dtype)))
+        new_hists.append(onehot_accumulate(h, gidx, w))
     return new_hists
 
 
 def zero_hists(spec: Spec, dtype=jnp.float32):
-    return [jnp.zeros(li.nhist, dtype) for li in spec.leaves]
+    from ..ops.lookup import padded_hist_size
+
+    return [jnp.zeros(padded_hist_size(li.nhist), dtype) for li in spec.leaves]

@@ -38,7 +38,8 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops import ksum
 from ..ops.grid import uniform_open01
-from .engine import Spec, accumulate_hists, gather_slot, scatter_slot, zero_hists
+from .engine import (Spec, accumulate_hists, decode_complex_numpy,
+                     encode_complex, gather_slot, scatter_slot, zero_hists)
 from .vegasmc import choose_walkers
 
 
@@ -390,7 +391,7 @@ class MCMCIteration:
                                     jnp.arange(self.nsteps + nburnin))
             (_, _, _, _, obs_acc, norm_acc, visited_acc, hists,
              prop_acc, acc_acc, _) = carry
-            return (ksum.tree_kvalue(obs_acc), norm_acc.value,
+            return (encode_complex(ksum.tree_kvalue(obs_acc)), norm_acc.value,
                     visited_acc.value, hists, prop_acc, acc_acc)
 
         if ndev > 1:
@@ -423,7 +424,7 @@ class MCMCIteration:
     def run(self, params, key):
         keys = jax.random.split(key, self._ndev)
         obs_b, norm_b, visited, hists, prop_acc, acc_acc = self._fn(params, keys)
-        obs_b = jax.tree_util.tree_map(np.asarray, obs_b)
+        obs_b = decode_complex_numpy(obs_b)
         norm_b = np.asarray(norm_b, dtype=np.float64)
         spec = self.spec
         nd = spec.N + 1
@@ -435,7 +436,8 @@ class MCMCIteration:
             "obs_blocks": obs_b,
             "norm_blocks": norm_b,
             "visited": np.asarray(visited, dtype=np.float64),
-            "hists": [np.asarray(h, dtype=np.float64) for h in hists],
+            "hists": [np.asarray(h, dtype=np.float64)[: li.nhist]
+                      for h, li in zip(hists, self.spec.leaves)],
             "propose": propose,
             "accept": accept,
             "neval": self.neval,

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..ops import ksum
-from .engine import Spec, accumulate_hists, pack_weights, zero_hists
+from .engine import (Spec, accumulate_hists, decode_complex_numpy,
+                     encode_complex, pack_weights, zero_hists)
 
 
 def _tree_sum0(tree):
@@ -111,7 +112,9 @@ class VegasIteration:
             hists0 = zero_hists(spec)
             (obs_acc, norm_acc, hists), _ = jax.lax.scan(
                 chunk_body, (obs0, norm0, hists0), jnp.arange(self.nchunks))
-            return (ksum.tree_kvalue(obs_acc), norm_acc.value, hists)
+            # complex observables leave the kernel as real pairs (engine.py)
+            return (encode_complex(ksum.tree_kvalue(obs_acc)),
+                    norm_acc.value, hists)
 
         def run_all(params, block_keys):
             obs_b, norm_b, hists_b = jax.vmap(run_block, in_axes=(None, 0))(
@@ -145,9 +148,10 @@ class VegasIteration:
         """Execute one iteration; returns host-side numpy statistics."""
         block_keys = jax.random.split(key, self.block)
         obs_b, norm_b, hists = self._fn(params, block_keys)
-        obs_b = jax.tree_util.tree_map(np.asarray, obs_b)
+        obs_b = decode_complex_numpy(obs_b)
         norm_b = np.asarray(norm_b, dtype=np.float64)
-        hists = [np.asarray(h, dtype=np.float64) for h in hists]
+        hists = [np.asarray(h, dtype=np.float64)[: li.nhist]
+                 for h, li in zip(hists, self.spec.leaves)]
         neval = self.block * self.nevalperblock
         return {
             "obs_blocks": obs_b,      # pytree with leading [block] axis

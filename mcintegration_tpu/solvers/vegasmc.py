@@ -34,6 +34,8 @@ from ..ops.grid import uniform_open01
 from .engine import (
     Spec,
     accumulate_hists,
+    decode_complex_numpy,
+    encode_complex,
     gather_slot,
     scatter_slot,
     zero_hists,
@@ -242,7 +244,7 @@ class VegasMCIteration:
             carry, _ = jax.lax.scan(step, carry, jnp.arange(self.nsteps))
             (_, _, _, _, obs_acc, norm_acc, visited_acc, hists,
              prop_cnt, acc_cnt, _) = carry
-            return (ksum.tree_kvalue(obs_acc), norm_acc.value,
+            return (encode_complex(ksum.tree_kvalue(obs_acc)), norm_acc.value,
                     visited_acc.value, hists, prop_cnt, acc_cnt)
 
         if mesh is not None and np.prod([mesh.shape[a] for a in mesh.axis_names]) > 1:
@@ -276,7 +278,7 @@ class VegasMCIteration:
     def run(self, params, key):
         keys = jax.random.split(key, self._ndev)
         obs_b, norm_b, visited, hists, prop_cnt, acc_cnt = self._fn(params, keys)
-        obs_b = jax.tree_util.tree_map(np.asarray, obs_b)
+        obs_b = decode_complex_numpy(obs_b)
         norm_b = np.asarray(norm_b, dtype=np.float64)
         spec = self.spec
         nd = spec.N + 1
@@ -289,7 +291,8 @@ class VegasMCIteration:
             "obs_blocks": obs_b,
             "norm_blocks": norm_b,
             "visited": np.asarray(visited, dtype=np.float64),
-            "hists": [np.asarray(h, dtype=np.float64) for h in hists],
+            "hists": [np.asarray(h, dtype=np.float64)[: li.nhist]
+                      for h, li in zip(hists, self.spec.leaves)],
             "propose": propose,
             "accept": accept,
             "neval": self.neval,
