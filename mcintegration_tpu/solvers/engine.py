@@ -312,8 +312,10 @@ def gather_slot(arr, idx):
 def scatter_slot(arr, idx, value):
     """Functional update of one slot per walker."""
     if arr.ndim == 3:
-        return jnp.put_along_axis(arr, idx[:, None, None],
-                                  value[:, None, :], axis=1, inplace=False)
+        w, _, d = arr.shape
+        return jnp.put_along_axis(
+            arr, jnp.broadcast_to(idx[:, None, None], (w, 1, d)),
+            value[:, None, :], axis=1, inplace=False)
     return jnp.put_along_axis(arr, idx[:, None], value[:, None], axis=1,
                               inplace=False)
 
