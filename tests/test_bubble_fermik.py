@@ -64,10 +64,13 @@ def test_bubble_fermik_mcmc():
     t = Continuous(0.0, BETA_PHYS, alpha=3.0)
     k = FermiK(3, KF, 0.2 * KF, 10.0 * KF)
     ext = Discrete(1, QSIZE, adapt=False)
+    # FermiK equilibration needs long chains: the displaced-shell regions
+    # (|k+q| ~ kF) are reached via local jitter/scale moves, so chains must
+    # run O(1000) steps each (the reference runs 12.5k steps per block chain)
     res = integrate(integrand, measure=measure_i,
                     var=(t, k, ext), dof=[[1, 1, 1]], obs=[np.zeros(QSIZE)],
-                    solver="mcmc", neval=200_000, verbose=-2, block=16,
-                    seed=211)
+                    solver="mcmc", neval=400_000, verbose=-2, block=16,
+                    seed=211, nwalkers=128, thermal_ratio=0.3)
     avg = np.asarray(res.mean[0])
     std = np.asarray(res.stdev[0])
     for i in range(QSIZE):
