@@ -116,6 +116,11 @@ def integrate(integrand: Callable, *,
     weight_dtype = jnp.complex64 if config.type is complex else dtype
     spec = Spec(config, dtype=dtype)
 
+    if debug:
+        from .debug import probe_integrand
+        probe_integrand(spec, integrand, measure, inplace,
+                        str(solver).lstrip(":"), weight_dtype)
+
     solver = str(solver).lstrip(":")
     if solver == "vegas":
         it_kernel = VegasIteration(
@@ -150,6 +155,9 @@ def integrate(integrand: Callable, *,
         params = spec.device_params()
         key = jax.random.fold_in(base_key, it)
         stats = it_kernel.run(params, key)
+        if debug:
+            from .debug import check_iteration_stats
+            check_iteration_stats(stats, it)
 
         # ---- merge device statistics into the host config (the reference's
         # addConfig!/MPIreduceConfig! step, configuration.jl:238-299) ----
