@@ -303,21 +303,45 @@ def decode_complex_numpy(tree):
 
 
 def gather_slot(arr, idx):
-    """arr [W, ndraw(, D)], idx [W] -> the per-walker slot entry [W(, D)]."""
+    """arr [W, ndraw(, D)], idx [W] -> the per-walker slot entry [W(, D)].
+
+    Masked reduction over the (small, static) slot axis instead of
+    take_along_axis: XLA's gather lowering is pathologically slow on TPU
+    while a width-ndraw select+sum is a handful of VPU ops.
+    """
+    nd = arr.shape[1]
+    oh = idx[:, None] == jnp.arange(nd, dtype=idx.dtype)
     if arr.ndim == 3:
-        return jnp.take_along_axis(arr, idx[:, None, None], axis=1)[:, 0]
-    return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+        return jnp.sum(jnp.where(oh[..., None], arr, 0), axis=1)
+    return jnp.sum(jnp.where(oh, arr, 0), axis=1)
 
 
 def scatter_slot(arr, idx, value):
-    """Functional update of one slot per walker."""
+    """Functional update of one slot per walker (masked select, no scatter)."""
+    nd = arr.shape[1]
+    oh = idx[:, None] == jnp.arange(nd, dtype=idx.dtype)
     if arr.ndim == 3:
-        w, _, d = arr.shape
-        return jnp.put_along_axis(
-            arr, jnp.broadcast_to(idx[:, None, None], (w, 1, d)),
-            value[:, None, :], axis=1, inplace=False)
-    return jnp.put_along_axis(arr, idx[:, None], value[:, None], axis=1,
-                              inplace=False)
+        return jnp.where(oh[..., None], value[:, None, :], arr)
+    return jnp.where(oh, value[:, None], arr)
+
+
+def take_rows(table, idx):
+    """Row lookup ``table[idx]`` for a small static table via one-hot matmul.
+
+    ``table``: [K] or [K, cols] (K small — dof tables, neighbor lists,
+    reweight vectors); ``idx``: [...] int.  Exact for float32 tables and for
+    integer tables with small values (0/1 one-hot coefficients select a
+    single row).  TPU-friendly: no gather instruction is emitted.
+    """
+    squeeze = table.ndim == 1
+    t = table[:, None] if squeeze else table
+    k = t.shape[0]
+    oh = (idx[..., None] == jnp.arange(k, dtype=idx.dtype))
+    if jnp.issubdtype(t.dtype, jnp.integer):
+        out = jnp.sum(jnp.where(oh[..., None], t, 0), axis=-2)
+    else:
+        out = jnp.sum(oh[..., None].astype(t.dtype) * t, axis=-2)
+    return out[..., 0] if squeeze else out
 
 
 def accumulate_hists(spec: Spec, hists, pools, slot_weights):

@@ -39,7 +39,8 @@ from jax.sharding import PartitionSpec as P
 from ..ops import ksum
 from ..ops.grid import uniform_open01
 from .engine import (Spec, accumulate_hists, decode_complex_numpy,
-                     encode_complex, gather_slot, scatter_slot, zero_hists)
+                     encode_complex, gather_slot, scatter_slot, take_rows,
+                     zero_hists)
 from .vegasmc import choose_walkers
 
 
@@ -126,12 +127,13 @@ class MCMCIteration:
             """updates.jl:1-70 vectorized over walkers."""
             pools, curr, weight, prob = state
             u = uniform_open01(jax.random.fold_in(key, 0), (W, 2))
-            deg_c = jnp.take(nb_deg, curr)
+            deg_c = take_rows(nb_deg, curr)
             pick = jnp.minimum((u[:, 0] * deg_c).astype(jnp.int32), deg_c - 1)
-            new = nb_tab[curr, pick]
-            currdof = jnp.take(dof_tab, curr, axis=0)      # [W, nvar]
-            newdof = jnp.take(dof_tab, new, axis=0)
-            prop = deg_c.astype(jnp.float32) / jnp.take(nb_deg, new).astype(jnp.float32)
+            rows = take_rows(nb_tab, curr)                 # [W, max_deg]
+            new = gather_slot(rows, pick)
+            currdof = take_rows(dof_tab, curr)             # [W, nvar]
+            newdof = take_rows(dof_tab, new)
+            prop = deg_c.astype(jnp.float32) / take_rows(nb_deg, new).astype(jnp.float32)
 
             new_pools = [dict(p) for p in pools]
             for g in range(nvar):
@@ -169,7 +171,7 @@ class MCMCIteration:
             new_prob = jnp.where(
                 new == norm,
                 params_ref[0]["reweight"][norm],
-                jnp.abs(new_weight) * jnp.take(params_ref[0]["reweight"], new))
+                jnp.abs(new_weight) * take_rows(params_ref[0]["reweight"], new))
             ratio = prop * new_prob / jnp.maximum(prob, 1e-38)
             u_acc = uniform_open01(jax.random.fold_in(key, 1), (W,))
             acc = (u_acc < ratio) & (prop > 1e-38)
@@ -191,8 +193,8 @@ class MCMCIteration:
             pools, curr, weight, prob = state
             u = uniform_open01(jax.random.fold_in(key, 0), (W, 2))
             vi = jnp.minimum((u[:, 0] * nvar).astype(jnp.int32), nvar - 1)
-            currdof = jnp.take(dof_tab, curr, axis=0)
-            dof_vi = jnp.take_along_axis(currdof, vi[:, None], axis=1)[:, 0]
+            currdof = take_rows(dof_tab, curr)
+            dof_vi = gather_slot(currdof, vi)
             active = (curr != norm) & (dof_vi > 0)
 
             new_pools = [dict(p) for p in pools]
@@ -222,7 +224,7 @@ class MCMCIteration:
                     }
 
             new_weight = eval_all(new_pools, curr)
-            new_prob = jnp.abs(new_weight) * jnp.take(params_ref[0]["reweight"], curr)
+            new_prob = jnp.abs(new_weight) * take_rows(params_ref[0]["reweight"], curr)
             ratio = prop * new_prob / jnp.maximum(prob, 1e-38)
             u_acc = uniform_open01(jax.random.fold_in(key, 1), (W,))
             acc = active & (u_acc < ratio) & (prop > 1e-38)
@@ -245,12 +247,11 @@ class MCMCIteration:
             pools, curr, weight, prob = state
             u = uniform_open01(jax.random.fold_in(key, 0), (W, 3))
             vi = jnp.minimum((u[:, 0] * nvar).astype(jnp.int32), nvar - 1)
-            currdof = jnp.take(dof_tab, curr, axis=0)
-            dof_vi = jnp.take_along_axis(currdof, vi[:, None], axis=1)[:, 0]
+            currdof = take_rows(dof_tab, curr)
+            dof_vi = gather_slot(currdof, vi)
             active = (curr != norm) & (dof_vi > 0)
 
             new_pools = [dict(p) for p in pools]
-            idx1_all, idx2_all = {}, {}
             for g in eligible:
                 dv = dof_vi.astype(jnp.float32)
                 idx1 = jnp.minimum((u[:, 1] * dv).astype(jnp.int32), spec.maxdof[g] - 1)
@@ -270,7 +271,7 @@ class MCMCIteration:
                     new_pools[lidx] = upd
 
             new_weight = eval_all(new_pools, curr)
-            new_prob = jnp.abs(new_weight) * jnp.take(params_ref[0]["reweight"], curr)
+            new_prob = jnp.abs(new_weight) * take_rows(params_ref[0]["reweight"], curr)
             ratio = new_prob / jnp.maximum(prob, 1e-38)
             u_acc = uniform_open01(jax.random.fold_in(key, 1), (W,))
             acc = active & (u_acc < ratio)
@@ -340,7 +341,9 @@ class MCMCIteration:
 
             # histogram: 1.0 per used slot of the current integrand
             # (montecarlo.jl:148-155)
-            slot_w = jnp.take(spec.mask_used, curr, axis=0).astype(jnp.float32) \
+            used_flat = jnp.asarray(spec.mask_used, jnp.float32).reshape(nd, -1)
+            slot_w = take_rows(used_flat, curr).reshape(
+                (W,) + spec.mask_used.shape[1:]) \
                 * (mw * (~in_norm).astype(jnp.float32))[:, None, None]
             hists = accumulate_hists(spec, hists, pools, slot_w)
 

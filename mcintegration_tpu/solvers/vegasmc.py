@@ -38,6 +38,7 @@ from .engine import (
     encode_complex,
     gather_slot,
     scatter_slot,
+    take_rows,
     zero_hists,
 )
 
@@ -159,7 +160,7 @@ class VegasMCIteration:
             u_vi = uniform_open01(jax.random.fold_in(key, 0), (W,))
             vi_pick = jnp.minimum((u_vi * len(eligible)).astype(jnp.int32),
                                   len(eligible) - 1)
-            vi = jnp.asarray(eligible, jnp.int32)[vi_pick]
+            vi = take_rows(jnp.asarray(eligible, jnp.int32), vi_pick)
 
             prop_pools, prop = propose_shift(params_ref[0], key, pools, vi)
             new_weights = jax.vmap(eval_fn)(prop_pools)
