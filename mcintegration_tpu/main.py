@@ -105,7 +105,10 @@ def integrate(integrand: Callable, *,
     if verbose > 0:
         timers.append(StopWatch(verbose, lambda cfg, *_: cfg.report()))
 
-    if mesh is None and parallel == "auto":
+    # the reference's parallel=:thread/:nothread toggles intra-process
+    # threading; the analog here is the device mesh ('none' disables it)
+    if mesh is None and parallel in ("auto", "thread", ":thread",
+                                     "nothread", ":nothread"):
         mesh = default_mesh()
     nworker = 1
     if mesh is not None:

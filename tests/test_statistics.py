@@ -98,3 +98,21 @@ def test_tostring_sig_digits():
     assert tostring(0.5, 0.0) == "0.5 ± 0.0" or "±" in tostring(0.5, 0.0)
     s = tostring(1.0 + 2.0j, 0.1 + 0.2j)
     assert "im" in s
+
+
+def test_reweight_converges_to_goal():
+    """Reweighting drives visited ratios toward reweight_goal over
+    iterations (reference test/mpi_test.jl:148-169)."""
+    from mcintegration_tpu.configuration import Configuration
+    from mcintegration_tpu.main import do_reweight
+    from mcintegration_tpu.models.variable import Continuous
+
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[1], [1]])
+    goal = np.array([2.0, 1.0, 1.0])
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        # visits proportional to current reweight (perfect mixing model)
+        cfg.visited[:] = cfg.reweight * 3e5 + rng.integers(0, 10, 3)
+        do_reweight(cfg, 1.0, goal)
+    r = cfg.reweight / cfg.reweight.sum()
+    np.testing.assert_allclose(r, goal / goal.sum(), rtol=0.05)
