@@ -62,3 +62,32 @@ def mesh_size(mesh: Optional[Mesh]) -> int:
     if mesh is None:
         return 1
     return int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+
+def distribute_rows(mesh: Optional[Mesh], rows: np.ndarray):
+    """Turn a host-replicated [n, ...] array into a global array sharded over
+    the mesh's first axis.  Single-process: pass through (jit auto-shards).
+
+    Multi-host: every process calls this with the SAME host array (all hosts
+    compute identical per-block key data), and each contributes its
+    addressable shards — the multi-host analogue of the reference's
+    rank-indexed block loop (src/main.jl:152-166).
+    """
+    if mesh is None or jax.process_count() == 1:
+        return rows
+    sharding = jax.sharding.NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    return jax.make_array_from_callback(rows.shape, sharding,
+                                        lambda idx: rows[idx])
+
+
+def gather_rows(x):
+    """Fetch a (possibly sharded) device array to every host as numpy.
+
+    Multi-host: all-gathers the non-addressable shards (the replacement for
+    the reference's root-only Result asymmetry — every host gets the data).
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

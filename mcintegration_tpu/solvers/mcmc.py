@@ -38,6 +38,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops import ksum
 from ..ops.grid import uniform_open01
+from ..parallel.mesh import distribute_rows, gather_rows
 from .engine import (Spec, accumulate_hists, decode_complex_numpy,
                      encode_complex, gather_slot, scatter_slot, take_rows,
                      zero_hists)
@@ -400,9 +401,10 @@ class MCMCIteration:
         if ndev > 1:
             axis = mesh.axis_names[0]
 
-            def sharded(params, keys):
-                def local(params, keys):
-                    obs_b, norm_b, visited, hists, pc, ac = run_all(params, keys[0])
+            def sharded(params, kd):
+                def local(params, kd):
+                    key0 = jax.random.wrap_key_data(kd[0])
+                    obs_b, norm_b, visited, hists, pc, ac = run_all(params, key0)
                     visited = jax.lax.psum(visited, axis)
                     hists = [jax.lax.psum(h, axis) for h in hists]
                     pc = jax.lax.psum(pc, axis)
@@ -414,21 +416,24 @@ class MCMCIteration:
                     in_specs=(P(), P(axis)),
                     out_specs=(P(axis), P(axis), P(), P(), P(), P()),
                     check_vma=False,
-                )(params, keys)
+                )(params, kd)
 
             self.raw_fn = sharded
             self._fn = jax.jit(sharded)
             self._ndev = ndev
         else:
-            self.raw_fn = lambda params, keys: run_all(params, keys[0])
+            self.raw_fn = lambda params, kd: run_all(
+                params, jax.random.wrap_key_data(kd[0]))
             self._fn = jax.jit(self.raw_fn)
             self._ndev = 1
 
     def run(self, params, key):
-        keys = jax.random.split(key, self._ndev)
+        kd = np.asarray(jax.random.key_data(
+            jax.random.split(key, self._ndev)))
+        keys = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
         obs_b, norm_b, visited, hists, prop_acc, acc_acc = self._fn(params, keys)
-        obs_b = decode_complex_numpy(obs_b)
-        norm_b = np.asarray(norm_b, dtype=np.float64)
+        obs_b = decode_complex_numpy(jax.tree_util.tree_map(gather_rows, obs_b))
+        norm_b = gather_rows(norm_b).astype(np.float64)
         spec = self.spec
         nd = spec.N + 1
         nvar = spec.nvar

@@ -44,6 +44,7 @@ from ..ops.grid import uniform_open01
 from ..ops.lookup import level_size, onehot_accumulate, two_level_take
 from ..models.variable import Continuous, Discrete, FermiK
 from .engine import Spec, decode_complex_numpy, encode_complex, zero_hists
+from ..parallel.mesh import distribute_rows, gather_rows
 
 
 def _tree_sum_last(tree):
@@ -176,7 +177,9 @@ class VegasIteration:
         c_ = c
         used_np = None
 
-        def run_block(params, block_key):
+        def run_block(params, kd_row):
+            block_key = jax.random.wrap_key_data(kd_row)
+
             def chunk_body(carry, t):
                 obs_acc, norm_acc, hists = carry
                 key_t = jax.random.fold_in(block_key, t)
@@ -303,10 +306,11 @@ class VegasIteration:
 
     def run(self, params, key):
         """Execute one iteration; returns host-side numpy statistics."""
-        block_keys = jax.random.split(key, self.block)
-        obs_b, norm_b, hists = self._fn(params, block_keys)
-        obs_b = decode_complex_numpy(obs_b)
-        norm_b = np.asarray(norm_b, dtype=np.float64)
+        kd = np.asarray(jax.random.key_data(jax.random.split(key, self.block)))
+        kd = distribute_rows(self.mesh, kd)
+        obs_b, norm_b, hists = self._fn(params, kd)
+        obs_b = decode_complex_numpy(jax.tree_util.tree_map(gather_rows, obs_b))
+        norm_b = gather_rows(norm_b).astype(np.float64)
         hists = [np.asarray(h, dtype=np.float64)[: li.nhist]
                  for h, li in zip(hists, self.spec.leaves)]
         neval = self.block * self.nevalperblock
