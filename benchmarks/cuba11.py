@@ -1,0 +1,75 @@
+"""The Cuba 11-component 3-D suite (reference example/benchmark/cuba/benchmark.jl).
+
+Eleven simultaneous 3-D integrands with shared pools — the reference's
+throughput anchor (0.246 s wall at :vegas neval=1e5 ⇒ ~0.41 M steps/s,
+~4.5 M component-evals/s on the author's laptop; BASELINE.md).  Prints
+per-component estimates vs Cuba's vegas values plus wall time and rates.
+
+Run: python benchmarks/cuba11.py [neval] [solver]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax.numpy as jnp
+
+from mcintegration_tpu import Continuous, integrate
+
+CUBA_VEGAS = [  # reference benchmark.jl:101-113 (Cuba vegas @ ~1e6 evals)
+    0.66466956, 5.26864144, 0.30780794, 0.87731278, 0.41654127,
+    1.20201670, 0.70962355, 0.89121873, 0.08018534, 2.39635903, 0.52363603,
+]
+
+
+def test2(x, c):
+    x0, x1, x2 = x[0], x[1], x[2]
+    rsq = x0 * x0 + x1 * x1 + x2 * x2
+    return (
+        jnp.sin(x0) * jnp.cos(x1) * jnp.exp(x2),
+        1.0 / ((x0 + x1) ** 2 + 0.003) * jnp.cos(x1) * jnp.exp(x2),
+        1.0 / (3.75 - jnp.cos(np.pi * x0) - jnp.cos(np.pi * x1)
+               - jnp.cos(np.pi * x2)),
+        jnp.abs(rsq - 0.125),
+        jnp.exp(-rsq),
+        1.0 / (1.0 - x0 * x1 * x2 + 1e-10),
+        jnp.sqrt(jnp.abs(x0 - x1 - x2)),
+        jnp.exp(-x0 * x1 * x2),
+        x0 * x0 / (jnp.cos(x0 + x1 + x2 + 1.0) + 5.0),
+        jnp.where(x0 > 0.5,
+                  1.0 / jnp.sqrt(x0 * x1 * x2 + 1e-5),
+                  jnp.sqrt(x0 * x1 * x2)),
+        jnp.where(rsq < 1.0, 1.0, 0.0),
+    )
+
+
+def main():
+    neval = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
+    solver = sys.argv[2] if len(sys.argv) > 2 else "vegas"
+    fi = (lambda idx, x, c: test2(x, c)[idx]) if solver == "mcmc" else test2
+
+    # warmup/compile
+    integrate(fi, var=Continuous(0.0, 1.0), dof=[[3]] * 11, neval=neval,
+              niter=2, solver=solver, verbose=-2, seed=3)
+    t0 = time.time()
+    res = integrate(fi, var=Continuous(0.0, 1.0), dof=[[3]] * 11, neval=neval,
+                    niter=10, solver=solver, verbose=-2, seed=3)
+    dt = time.time() - t0
+    steps = res.neval
+    print(f"solver :{solver}  neval={neval:.0e} x 10  wall {dt:.3f}s "
+          f"=> {steps/dt/1e6:.2f} M steps/s, {11*steps/dt/1e6:.1f} M "
+          f"component-evals/s")
+    print(f"  (reference :vegas @1e5: 0.246 s/iterset => ~0.41 M steps/s)")
+    for i in range(11):
+        m = float(np.asarray(res.mean[i]))
+        s = float(np.asarray(res.stdev[i]))
+        c = CUBA_VEGAS[i]
+        print(f"  f{i+1:>2}: {m:12.7f} ± {s:.7f}   cuba {c:12.7f} "
+              f"({abs(m-c)/max(s,1e-12):5.1f}σ)")
+
+
+if __name__ == "__main__":
+    main()
