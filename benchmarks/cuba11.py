@@ -47,6 +47,8 @@ def test2(x, c):
 
 
 def main():
+    import jax
+    print("devices:", jax.devices(), flush=True)
     neval = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
     solver = sys.argv[2] if len(sys.argv) > 2 else "vegas"
     fi = (lambda idx, x, c: test2(x, c)[idx]) if solver == "mcmc" else test2
