@@ -19,6 +19,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from mcintegration_tpu.platform import apply_env_platform
+
+apply_env_platform()
+
 import math
 
 import numpy as np

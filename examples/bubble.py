@@ -13,6 +13,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from mcintegration_tpu.platform import apply_env_platform
+
+apply_env_platform()
+
 import numpy as np
 import jax.numpy as jnp
 

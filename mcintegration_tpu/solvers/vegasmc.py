@@ -45,7 +45,7 @@ from .engine import (
 
 
 def choose_walkers(neval: int, block: int, nwalkers, min_steps: int,
-                   max_walkers: int = 16384):
+                   max_walkers: int = 65536):
     """Pick (W, nsteps) with W a multiple of block and W*nsteps ≈ neval."""
     if nwalkers is None:
         w = max(block, min(int(neval) // max(min_steps, 1), max_walkers))
