@@ -56,9 +56,18 @@ def main():
                     "reference(:vegas) −4.0166(184) 'fails'")
 
     # benchmark1.jl: ∭ 1/(1−cos x cos y cos z)/π³ = 1.3932039 @2e6
+    # stable float32 form: 1−ca·cb·cc = s2a + ca·s2b + ca·cb·s2c with
+    # s2t = 2 sin²(t/2) (avoids catastrophic cancellation near the corner)
+    def f_sing3(x, c):
+        ca, cb, cc = jnp.cos(x[0]), jnp.cos(x[1]), jnp.cos(x[2])
+        s2a = 2 * jnp.sin(x[0] / 2) ** 2
+        s2b = 2 * jnp.sin(x[1] / 2) ** 2
+        s2c = 2 * jnp.sin(x[2] / 2) ** 2
+        denom = s2a + ca * s2b + ca * cb * s2c
+        return 1.0 / denom / np.pi**3
+
     bench("3-D singular 1/(1-cosx cosy cosz)/pi^3",
-          lambda x, c: 1.0 / (1.0 - jnp.cos(x[0]) * jnp.cos(x[1])
-                              * jnp.cos(x[2])) / np.pi**3,
+          f_sing3,
           1.3932039296856768, int(2e6), [[3]], solver, upper=np.pi,
           published="Vegas+ 1.39314(15); Cuba 1.39223(109); "
                     "reference(:vegas) 1.39612(818)")

@@ -125,7 +125,14 @@ def integrate(integrand: Callable, *,
                         str(solver).lstrip(":"), weight_dtype)
 
     solver = str(solver).lstrip(":")
-    if solver == "vegas":
+    if solver in ("vegas+", "vegasplus"):
+        from .solvers.vegasplus import VegasPlusIteration
+        solver = "vegas"  # downstream (reweight/train) semantics are :vegas
+        it_kernel = VegasPlusIteration(
+            spec, integrand, measure=measure, inplace=inplace,
+            measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
+            mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable)
+    elif solver == "vegas":
         it_kernel = VegasIteration(
             spec, integrand, measure=measure, inplace=inplace,
             measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,

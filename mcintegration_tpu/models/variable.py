@@ -82,8 +82,18 @@ class _LeafVar:
         self.histogram.fill(HIST_FLOOR)
 
     def add_statistics(self, histogram):
-        """Merge a device-produced histogram into the host accumulator."""
-        self.histogram += np.asarray(histogram, dtype=np.float64)
+        """Merge a device-produced histogram into the host accumulator.
+
+        Non-finite bins (f32 overflow from an extreme first-iteration sample)
+        are replaced by the largest finite bin — training consumes ratios,
+        so this only caps how fast a bin can attract grid nodes.
+        """
+        h = np.asarray(histogram, dtype=np.float64)
+        if not np.all(np.isfinite(h)):
+            finite = h[np.isfinite(h)]
+            cap = finite.max() if finite.size else 1.0
+            h = np.nan_to_num(h, nan=cap, posinf=cap, neginf=0.0)
+        self.histogram += h
 
     def train(self):
         raise NotImplementedError

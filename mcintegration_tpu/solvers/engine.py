@@ -237,9 +237,10 @@ class Spec:
             if inplace:
                 buf = WeightBuffer(n, weight_dtype)
                 integrand(v, buf, uc)
-                return buf.stack()
-            w = integrand(v, uc)
-            return pack_weights(w, n, weight_dtype)
+                w = buf.stack()
+            else:
+                w = pack_weights(integrand(v, uc), n, weight_dtype)
+            return _finite_guard(w)
 
         return _eval
 
@@ -250,10 +251,26 @@ class Spec:
 
         def _eval(pools):
             v = self.view(pools)
-            w = integrand(idx, v, uc)
-            return jnp.asarray(w, weight_dtype)
+            w = jnp.asarray(integrand(idx, v, uc), weight_dtype)
+            return _finite_guard(w)
 
         return _eval
+
+
+def _finite_guard(w):
+    """Zero out non-finite integrand values.
+
+    In float32 a singular integrand can overflow to inf within ~1 ulp of its
+    singular point (the reference runs in float64 where this is a
+    measure-zero hazard); an inf/NaN weight would poison every accumulator.
+    The zeroed region is O(ulp)-measure, far below the statistical error —
+    and users should still prefer numerically stable forms (see README).
+    """
+    if jnp.iscomplexobj(w):
+        ok = jnp.isfinite(jnp.real(w)) & jnp.isfinite(jnp.imag(w))
+    else:
+        ok = jnp.isfinite(w)
+    return jnp.where(ok, w, 0)
 
 
 def pack_weights(w, n: int, dtype):

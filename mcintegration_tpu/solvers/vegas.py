@@ -52,6 +52,7 @@ def _tree_sum_last(tree):
 
 
 def _coprime_multipliers(rng: np.random.Generator, nb: int, count: int):
+    """Random multipliers coprime to nb (so b -> (a*b+s) mod nb permutes)."""
     out = []
     while len(out) < count:
         a = int(rng.integers(1, max(nb, 2)))
@@ -102,12 +103,21 @@ class VegasIteration:
             if (isinstance(leaf, Continuous) and li.ndraw > 0
                     and c % leaf.ninc == 0):
                 nb = leaf.ninc
-                a_list = _coprime_multipliers(host_rng, nb, li.ndraw)
+                # a fresh multiplier is drawn per (slot, chunk) from this
+                # table so strata "lattice lines" change direction every
+                # chunk — keeps cross-dimension coverage diverse and block
+                # error bars honest for corner-singular integrands
+                n_mult = 64
+                a_list = _coprime_multipliers(host_rng, nb, n_mult * li.ndraw)
                 plans.append({
                     "nb": nb,
                     "m": c // nb,
-                    "a": a_list,
-                    "ainv": [pow(a, -1, nb) for a in a_list],
+                    "a_tab": jnp.asarray(a_list, jnp.int32).reshape(
+                        li.ndraw, n_mult),
+                    "ainv_tab": jnp.asarray(
+                        [pow(a, -1, nb) for a in a_list], jnp.int32).reshape(
+                        li.ndraw, n_mult),
+                    "n_mult": n_mult,
                     "lpad": level_size(nb),
                 })
             else:
@@ -138,7 +148,10 @@ class VegasIteration:
             plan = plans[lidx]
             if plan is not None:
                 nb, m = plan["nb"], plan["m"]
-                a = plan["a"][slot]
+                j = jax.random.randint(jax.random.fold_in(key, 3), (), 0,
+                                       plan["n_mult"])
+                a = jax.lax.dynamic_index_in_dim(
+                    plan["a_tab"][slot], j, keepdims=False)
                 s = jax.random.randint(jax.random.fold_in(key, 0), (), 0, nb)
                 perm = (a * jnp.arange(nb) + s) % nb
                 gi = two_level_take(params["leaf"][lidx]["tab"], perm, 2)
@@ -146,7 +159,7 @@ class VegasIteration:
                 dy = uniform_open01(jax.random.fold_in(key, 1), (nb, m))
                 x = (pg + dy * pi).reshape(c)
                 prob = jnp.broadcast_to(1.0 / (nb * pi), (nb, m)).reshape(c)
-                return x, prob, ("strat", lidx, slot, s)
+                return x, prob, ("strat", lidx, slot, (s, j))
             # per-sample draw through the learned map (ops/lookup.py path)
             val, gidx, prob = li.leaf.dev_draw(params["leaf"][lidx],
                                                jax.random.fold_in(key, 2), (c,))
@@ -162,8 +175,9 @@ class VegasIteration:
             if kind == "strat":
                 plan = plans[lidx]
                 nb, m, lpad = plan["nb"], plan["m"], plan["lpad"]
-                ainv = plan["ainv"][slot]
-                s = aux
+                s, j = aux
+                ainv = jax.lax.dynamic_index_in_dim(
+                    plan["ainv_tab"][slot], j, keepdims=False)
                 row = slot_w.reshape(nb, m).sum(axis=1)           # perm space
                 rowp = jnp.zeros(lpad * lpad, h.dtype).at[:nb].set(row)
                 inv = (ainv * (jnp.arange(nb) - s)) % nb
@@ -252,8 +266,10 @@ class VegasIteration:
                 obs_acc = ksum.tree_kadd(obs_acc, _tree_sum_last(contrib))
                 norm_acc = ksum.kadd(norm_acc, count)
 
-                # -- histograms: slot weight = sum_i (|w_i| jac)^2 1[used] --
-                wj2 = (jnp.abs(weights) * jac[None, :]) ** 2   # [n, c]
+                # -- histograms: slot weight = sum_i (|w_i| jac)^2 1[used];
+                # clipped so an untrained map near a singularity cannot
+                # overflow the f32 accumulator (training uses only ratios) --
+                wj2 = jnp.minimum(jnp.abs(weights) * jac[None, :], 1e17) ** 2
                 used = np.asarray(spec.mask_used)[:n]          # static
                 idx = 0
                 for lidx, li in enumerate(spec.leaves):

@@ -191,7 +191,9 @@ class VegasMCIteration:
             slotp = spec.slot_probs(pools)
             prob_i = jnp.stack([spec.probability(slotp, i) for i in range(n)],
                                axis=-1)                                  # [W,n]
-            wf2 = (jnp.abs(weights) ** 2 / prob_i) * pad[:, :n] / p[:, None]
+            wf2 = jnp.minimum(
+                (jnp.abs(weights) ** 2 / prob_i) * pad[:, :n] / p[:, None],
+                1e34)
             mask = spec.mask_used[:n].astype(wf2.dtype)
             slot_w = jnp.einsum("wn,nvm->wvm", wf2, mask)
             hists = accumulate_hists(spec, hists, pools, slot_w)

@@ -1,0 +1,72 @@
+"""Tests for the :vegasplus solver (adaptive hypercube stratification)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mcintegration_tpu import Continuous, Discrete, integrate
+from conftest import check
+
+
+def test_pi4():
+    res = integrate(lambda x, c: jnp.where(x[0] ** 2 + x[1] ** 2 < 1.0, 1.0, 0.0),
+                    var=Continuous(0.0, 1.0), dof=[[2]], neval=1e5, niter=10,
+                    solver="vegasplus", verbose=-2, seed=8)
+    check(res, np.pi / 4)
+    # hypercube stratification should beat plain vegas by a lot here
+    assert float(np.asarray(res.stdev[0])) < 5e-4
+
+
+def test_singular_3d_nonseparable():
+    # the integrand family plain (separable) vegas struggles with
+    def f(x, c):
+        ca, cb = jnp.cos(x[0]), jnp.cos(x[1])
+        s2a = 2 * jnp.sin(x[0] / 2) ** 2
+        s2b = 2 * jnp.sin(x[1] / 2) ** 2
+        s2c = 2 * jnp.sin(x[2] / 2) ** 2
+        return 1.0 / (s2a + ca * s2b + ca * cb * s2c) / np.pi**3
+
+    res = integrate(f, var=Continuous(0.0, np.pi), dof=[[3]], neval=2e5,
+                    niter=10, solver="vegas+", verbose=-2, seed=9)
+    check(res, 1.3932039)
+
+
+def test_multi_integrand():
+    def f(x, c):
+        return x[0] ** 2 + x[1] ** 2, x[0] * x[1]
+
+    res = integrate(f, var=Continuous(0.0, 1.0), dof=[[2], [2]], neval=5e4,
+                    niter=8, solver="vegasplus", verbose=-2, seed=10)
+    check(res, [2.0 / 3.0, 0.25])
+
+
+def test_counts_adapt():
+    from mcintegration_tpu.configuration import Configuration
+    from mcintegration_tpu.solvers.engine import Spec
+    from mcintegration_tpu.solvers.vegasplus import VegasPlusIteration
+    import jax
+
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=2)
+    spec = Spec(cfg)
+    it = VegasPlusIteration(
+        spec, lambda x, c: jnp.exp(-50 * ((x[0] - 0.3) ** 2 + (x[1] - 0.7) ** 2)),
+        block=8, nevalperblock=40000, mesh=None)
+    params = spec.device_params()
+    c0 = it.counts.copy()
+    it.run(params, jax.random.key(0))
+    assert it.counts.sum() == c0.sum()
+    assert not np.array_equal(it.counts, c0), "counts should adapt"
+    assert it.counts.min() >= 2
+
+
+def test_rejects_discrete():
+    with pytest.raises(NotImplementedError):
+        integrate(lambda x, c: 1.0, var=Discrete(1, 3), dof=[[1]],
+                  neval=1e4, solver="vegasplus", verbose=-2, seed=3)
+
+
+def test_rejects_padding():
+    with pytest.raises(NotImplementedError):
+        integrate(lambda x, c: (x[0], x[0] + x[1]), var=Continuous(0.0, 1.0),
+                  dof=[[1], [2]], neval=1e4, solver="vegasplus", verbose=-2,
+                  seed=4)
