@@ -150,8 +150,8 @@ class VegasIteration:
                 nb, m = plan["nb"], plan["m"]
                 j = jax.random.randint(jax.random.fold_in(key, 3), (), 0,
                                        plan["n_mult"])
-                a = jax.lax.dynamic_index_in_dim(
-                    plan["a_tab"][slot], j, keepdims=False)
+                sel = (jnp.arange(plan["n_mult"]) == j)
+                a = jnp.sum(jnp.where(sel, plan["a_tab"][slot], 0))
                 s = jax.random.randint(jax.random.fold_in(key, 0), (), 0, nb)
                 perm = (a * jnp.arange(nb) + s) % nb
                 gi = two_level_take(params["leaf"][lidx]["tab"], perm, 2)
@@ -176,8 +176,8 @@ class VegasIteration:
                 plan = plans[lidx]
                 nb, m, lpad = plan["nb"], plan["m"], plan["lpad"]
                 s, j = aux
-                ainv = jax.lax.dynamic_index_in_dim(
-                    plan["ainv_tab"][slot], j, keepdims=False)
+                sel = (jnp.arange(plan["n_mult"]) == j)
+                ainv = jnp.sum(jnp.where(sel, plan["ainv_tab"][slot], 0))
                 row = slot_w.reshape(nb, m).sum(axis=1)           # perm space
                 rowp = jnp.zeros(lpad * lpad, h.dtype).at[:nb].set(row)
                 inv = (ainv * (jnp.arange(nb) - s)) % nb
