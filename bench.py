@@ -29,8 +29,10 @@ def main():
     on_tpu = platform not in ("cpu",)
 
     block = 16
+    # big enough to amortize the per-dispatch host/runtime latency
+    # (~25-100 ms through the axon tunnel): measures the sustained rate
     neval = int(float(sys.argv[1])) if len(sys.argv) > 1 else (
-        2 ** 28 if on_tpu else 2 ** 22)
+        2 ** 34 if on_tpu else 2 ** 22)
     nevalperblock = neval // block
 
     cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=20260817)

@@ -83,6 +83,7 @@ def integrate(integrand: Callable, *,
               nwalkers: Optional[int] = None,
               min_steps_per_walker: int = 256,
               dtype=jnp.float32,
+              backend: str = "auto",
               **kwargs):
     """Calculate the integrals; returns a :class:`Result`.
 
@@ -136,7 +137,8 @@ def integrate(integrand: Callable, *,
         it_kernel = VegasIteration(
             spec, integrand, measure=measure, inplace=inplace,
             measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
-            mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable)
+            mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable,
+            backend=backend)
     elif solver == "vegasmc":
         from .solvers.vegasmc import VegasMCIteration
         it_kernel = VegasMCIteration(

@@ -1,0 +1,412 @@
+"""Fused stratified-Vegas Pallas kernel — the TPU hot path of the :vegas solver.
+
+Replaces the XLA ``run_block`` pipeline of ``solvers/vegas.py`` with ONE
+Mosaic kernel per (block, chunk) grid step that keeps the entire sample
+pipeline in VMEM:
+
+    hardware PRNG -> strata permutation -> one-hot Vegas-map lookup (MXU)
+    -> x = g + dy*inc -> user integrand (traced inside the kernel)
+    -> obs reduction + histogram scatter (MXU one-hot outer product)
+
+Wins vs the XLA path (same algorithm, solvers/vegas.py docstring):
+
+- ``pltpu.prng_random_bits`` (hardware RNG) replaces Threefry — an order of
+  magnitude fewer VPU ops per uniform, the dominant per-sample cost of the
+  2-D pi benchmark;
+- zero HBM round-trips inside a chunk: every fusion boundary of the XLA
+  scan-of-chunks (carry materialization, vmap-over-blocks batching) is gone;
+- the histogram un-permute is free: scattering the per-stratum row back to
+  natural bin order reuses the SAME one-hot factors built for the lookup,
+  ``hist += (oh_hi * row)^T @ oh_lo`` (a bijection, hence exact — cf.
+  ops/lookup.py:onehot_accumulate).
+
+Numerical contract: identical estimator semantics to the XLA path
+(vegas/montecarlo.jl:117-185 — obs[i] += w_i*pad_i*jac, histogram weight
+(|w_i| jac)^2, stratified variance reduction), but a different (hardware)
+random stream, so results agree statistically, not bit-exactly.  Runs are
+reproducible for a fixed seed on the same backend.
+
+Eligibility (checked by solvers/vegas.py, which falls back to XLA):
+every drawn leaf Continuous + stratifiable with one shared bin count,
+measure=None, measurefreq=1, real weights, modest VMEM footprint.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lookup import level_size
+
+_N_MULT = 64  # multiplier-table width, matches solvers/vegas.py
+
+
+def _mix32(x):
+    """lowbias32 avalanche mixer (32-bit finalizer), uint32 in/out."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _make_rng(kd_ref, b, t, interpret: bool):
+    """Per-kernel-instance random-bits source.
+
+    Hardware path: the TPU per-core PRNG (pltpu.prng_seed/prng_random_bits)
+    — the main throughput win over Threefry.  Interpret path (CPU tests):
+    the TPU interpreter stubs prng_random_bits to zeros, so substitute a
+    counter-hash generator (lowbias32 over a per-draw keyed counter), which
+    exercises every other line of the kernel with statistically sound bits.
+    """
+    if not interpret:
+        # hardware seeder takes at most 2 words: fold the chunk id into one
+        tm = _mix32(t.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        pltpu.prng_seed(kd_ref[b, 0] ^ tm, kd_ref[b, 1])
+        return pltpu.prng_random_bits  # int32 on hardware
+    k1 = _mix32(kd_ref[b, 0]
+                ^ (t.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)))
+    k2 = _mix32(kd_ref[b, 1] + t.astype(jnp.uint32))
+    ctr = [0]
+
+    def rand_bits(shape):
+        ctr[0] += 1
+        idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+               * jnp.uint32(shape[1])
+               + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        u = _mix32(_mix32(idx ^ k1) + k2
+                   + jnp.uint32((ctr[0] * 0x85EBCA6B) & 0xFFFFFFFF))
+        return jax.lax.bitcast_convert_type(u, jnp.int32)
+
+    return rand_bits
+
+
+def make_eval_batched(spec, integrand, inplace, weight_dtype):
+    """Batched integrand eval on [ndraw, NP, m] leaf values.
+
+    The XLA path vmaps the integrand per sample; inside a Mosaic kernel that
+    vmap inserts relayout copies per op (measured: 67MB VMEM stack, ~3x
+    slower).  Reference-style integrands are elementwise in the sample axes,
+    so calling them once on batched arrays is equivalent — and
+    solvers/vegas.py verifies that equivalence numerically at build time,
+    falling back to the XLA path on any mismatch.
+    """
+    from ..solvers.engine import WeightBuffer, _finite_guard
+
+    uc = spec.uconfig
+    n = spec.N
+
+    def _view(leaf_vals):
+        views = []
+        for gi, v in enumerate(spec.cfg.var):
+            member_views = []
+            for lidx in spec.group_leaves[gi]:
+                li = spec.leaves[lidx]
+                drawn = leaf_vals[lidx]
+                if li.offset > 0:
+                    fixed = np.asarray(li.leaf.fixed_values()[: li.offset])
+                    fixed = jnp.broadcast_to(
+                        jnp.asarray(fixed, drawn.dtype)[:, None, None],
+                        (li.offset,) + drawn.shape[1:])
+                    full = jnp.concatenate([fixed, drawn], axis=0)
+                else:
+                    full = drawn
+                member_views.append(full)
+            from ..models.variable import CompositeVar
+            views.append(tuple(member_views)
+                         if isinstance(spec.cfg.var[gi], CompositeVar)
+                         else member_views[0])
+        return views[0] if len(views) == 1 else tuple(views)
+
+    def _eval(leaf_vals):
+        v = _view(leaf_vals)
+        shape = leaf_vals[0].shape[1:]
+        if inplace:
+            buf = WeightBuffer(n, weight_dtype)
+            integrand(v, buf, uc)
+            ws = [buf[i] for i in range(n)]
+        else:
+            w = integrand(v, uc)
+            ws = list(w) if isinstance(w, (tuple, list)) else [w]
+            if len(ws) == 1 and n > 1:
+                ws = [ws[0][i] for i in range(n)]
+        assert len(ws) == n, f"integrand returned {len(ws)} weights, want {n}"
+        out = [jnp.broadcast_to(jnp.asarray(wi, weight_dtype), shape)
+               for wi in ws]
+        return [_finite_guard(wi) for wi in out]
+
+    return _eval
+
+
+def validate_batched(spec, eval_batched, eval_fn) -> bool:
+    """Prove batched eval == per-sample vmapped eval on random points.
+
+    Eagerly evaluates both on a tiny in-domain batch; any numerical mismatch
+    (i.e. an integrand that is NOT elementwise across samples) disables the
+    Pallas fast path.
+    """
+    try:
+        rng = np.random.default_rng(12345)
+        leaf_vals = []
+        for li in spec.leaves:
+            lo = float(getattr(li.leaf, "lower", 0.0))
+            rg = float(getattr(li.leaf, "range", 1.0))
+            u = rng.uniform(0.05, 0.95, (li.ndraw, 4, 2))
+            leaf_vals.append(jnp.asarray(lo + rg * u, jnp.float32))
+        wb = jnp.stack(eval_batched(leaf_vals))
+
+        def per_sample(vals):
+            return eval_fn([{"val": v} for v in vals])
+
+        wv = jax.vmap(jax.vmap(per_sample, in_axes=-1, out_axes=-1),
+                      in_axes=-1, out_axes=-1)(leaf_vals)
+        return bool(jnp.allclose(wb, wv, rtol=1e-5, atol=1e-6))
+    except Exception:
+        return False
+
+
+def pick_m_tile(spec, nb: int, m_avail: int) -> int:
+    """Samples-per-stratum per kernel instance: the largest lane-aligned
+    tile whose working set fits comfortably in VMEM (bigger tiles amortize
+    the per-chunk permutation/lookup fixed cost)."""
+    np_pad = level_size(nb) ** 2
+    nslots = sum(li.ndraw for li in spec.leaves)
+    live_per_m = (nslots + spec.N + 6) * np_pad * 4
+    m = 128
+    while m * 2 <= min(2048, m_avail) and live_per_m * m * 2 <= 44 * 2 ** 20:
+        m *= 2
+    return min(m, max(1, m_avail)) if m_avail < 128 else m
+
+
+def eligible(spec, plans, *, measure, measurefreq, weight_dtype,
+             m_tile_cap=128) -> bool:
+    """Can the Pallas fast path run this spec? (conservative static checks)"""
+    if measure is not None or measurefreq != 1:
+        return False
+    if jnp.issubdtype(weight_dtype, jnp.complexfloating):
+        return False
+    drawn = [(li, plan) for li, plan in zip(spec.leaves, plans) if li.ndraw > 0]
+    if not drawn:
+        return False
+    if any(plan is None for _, plan in drawn):
+        return False
+    nbs = {plan["nb"] for _, plan in drawn}
+    if len(nbs) != 1:
+        return False
+    nb = nbs.pop()
+    if nb > 32768:  # int32 overflow guard for a*b+s
+        return False
+    l = level_size(nb)
+    np_pad = l * l
+    nslots = sum(li.ndraw for li, _ in drawn)
+    # rough VMEM bound: per-slot x + per-integrand w + scratch headroom
+    live = (nslots + spec.N + 6) * np_pad * m_tile_cap * 4
+    if live > 12 * 1024 * 1024:
+        return False
+    return True
+
+
+def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
+                  m_tile: int, interpret: bool = False):
+    """Return run_all(params, kd[B,2] uint32) -> (obs [B,N], norm [B], hists).
+
+    Drop-in replacement for the XLA run_all of VegasIteration (same output
+    contract: per-block obs/norm, per-leaf padded 1-D histograms summed over
+    blocks).
+    """
+    n = spec.N
+    leaves = spec.leaves
+    # drawn strata leaves in kernel order; (leaf index, slot) per kernel slot
+    dleaf = [i for i, li in enumerate(leaves) if li.ndraw > 0]
+    slot_map = [(lidx, s) for lidx in dleaf for s in range(leaves[lidx].ndraw)]
+    nslots = len(slot_map)
+    nb = plans[dleaf[0]]["nb"]
+    L = level_size(nb)
+    NP = L * L
+    used = np.asarray(spec.mask_used)[:n]            # [n, nvar, mm] static
+    adapt_leaves = [i for i in dleaf if getattr(leaves[i].leaf, "adapt", False)]
+    f32 = jnp.float32
+
+    # per-kernel-slot multiplier tables, stacked [nslots, N_MULT]
+    a_tab_np = np.stack([np.asarray(plans[lidx]["a_tab"])[s]
+                         for (lidx, s) in slot_map]).astype(np.int32)
+
+    def kernel(kd_ref, atab_ref, *refs):
+        # refs = pg_0, pi_0, ..., pg_{nleaf-1}, pi_{nleaf-1},
+        #        obs_ref, hist_ref_0, ... (adapt leaves only)
+        pg_refs = {lidx: refs[2 * k] for k, lidx in enumerate(dleaf)}
+        pi_refs = {lidx: refs[2 * k + 1] for k, lidx in enumerate(dleaf)}
+        obs_ref = refs[2 * len(dleaf)]
+        hist_refs = {lidx: refs[2 * len(dleaf) + 1 + k]
+                     for k, lidx in enumerate(adapt_leaves)}
+
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        rand_bits = _make_rng(kd_ref, b, t, interpret)
+
+        iota_np = jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (NP, L), 1)
+        rowmask = (iota_np < nb).astype(f32)                     # [NP,1]
+
+        # ---- per-slot stratified draw through the learned map ----
+        xs = {}        # (lidx, slot) -> x [NP, m]
+        invp = {}      # (lidx, slot) -> 1/prob = nb*inc [NP, 1]
+        ohs = {}       # (lidx, slot) -> (oh_hi, oh_lo) for the hist scatter
+        for k, (lidx, slot) in enumerate(slot_map):
+            sb = rand_bits((1, 1))
+            jb = rand_bits((1, 1))
+            s = (sb[0, 0] & jnp.int32(0x7FFFFFFF)) % nb
+            j = (jb[0, 0] & jnp.int32(0x7FFFFFFF)) % _N_MULT
+            a = atab_ref[k, j]
+            perm = (a * iota_np + s) % nb                        # [NP,1]
+            hi = perm // L
+            lo = perm - hi * L
+            oh_hi = (hi == iota_l).astype(f32)                   # [NP,L]
+            oh_lo = (lo == iota_l).astype(f32)
+            # HIGHEST precision: the default bf16 MXU pass rounds grid
+            # points by up to ~0.4% (+-2 bins!), biasing the estimator
+            tmp_g = jnp.dot(oh_hi, pg_refs[lidx][:, :],
+                            preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)  # [NP,L]
+            tmp_i = jnp.dot(oh_hi, pi_refs[lidx][:, :],
+                            preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
+            pg = jnp.sum(oh_lo * tmp_g, axis=1, keepdims=True)   # [NP,1]
+            pi = jnp.sum(oh_lo * tmp_i, axis=1, keepdims=True)
+            bits = rand_bits((NP, m_tile))
+            # 24 random low bits as nonnegative int32 (Mosaic has no
+            # uint32->f32 cast); midpoint offset keeps dy inside (0, 1)
+            b24 = bits & jnp.int32(0x00FFFFFF)
+            dy = (b24.astype(f32) + 0.5) * f32(2.0 ** -24)
+            xs[(lidx, slot)] = pg + dy * pi                      # [NP,m]
+            invp[(lidx, slot)] = nb * pi
+            ohs[(lidx, slot)] = (oh_hi, oh_lo)
+
+        # ---- jacobian and per-(group,slot) probabilities ----
+        jac = None
+        for k in xs:
+            jac = invp[k] if jac is None else jac * invp[k]      # [NP,1]
+        gprob = {}
+        for gi in range(spec.nvar):
+            for slot in range(spec.maxdof[gi]):
+                p = None
+                for lidx in spec.group_leaves[gi]:
+                    q = 1.0 / invp[(lidx, slot)]
+                    p = q if p is None else p * q
+                gprob[(gi, slot)] = p
+
+        # ---- user integrand, batched over (strata, samples) ----
+        leaf_vals = []
+        for lidx, li in enumerate(leaves):
+            if li.ndraw > 0:
+                leaf_vals.append(jnp.stack(
+                    [xs[(lidx, s)] for s in range(li.ndraw)], axis=0))
+            else:
+                leaf_vals.append(jnp.zeros((0, NP, m_tile), f32))
+
+        weights = eval_batched(leaf_vals)   # list of n arrays [NP, m]
+
+        # ---- obs[i] += w_i * padding_i * jac (montecarlo.jl:148-165) ----
+        # obs lives in SMEM (scalar accumulators, dynamic row = block id)
+        @pl.when(t == 0)
+        def _():
+            for i in range(n):
+                obs_ref[b, i] = 0.0
+
+        for i in range(n):
+            factor = jac * rowmask
+            if not spec.pad_trivial[i]:
+                for gi in range(spec.nvar):
+                    for slot in range(spec.cfg.dof[i][gi], spec.maxdof[gi]):
+                        factor = factor * gprob[(gi, slot)]
+            # staged reduction: row sums first, then across strata —
+            # a flat f32 sum over ~1M elements accumulates O(sqrt(N) ulp)
+            # rounding bias (measured -7e-5 at m_tile=1024)
+            rowsum = jnp.sum(weights[i] * factor, axis=1, keepdims=True)
+            obs_ref[b, i] += jnp.sum(rowsum)
+
+        # ---- histograms: slot weight (|w_i| jac)^2 summed over users ----
+        if adapt_leaves:
+            wj2 = [jnp.minimum(jnp.abs(w) * jac, 1e17) ** 2 for w in weights]
+
+            @pl.when((b == 0) & (t == 0))
+            def _():
+                for lidx in adapt_leaves:
+                    hist_refs[lidx][:, :] = jnp.zeros((L, L), f32)
+
+            for lidx in adapt_leaves:
+                li = leaves[lidx]
+                for slot in range(li.ndraw):
+                    mask = used[:, li.group, slot]               # [n] static
+                    if not mask.any():
+                        continue
+                    sw = None
+                    for i in range(n):
+                        if mask[i]:
+                            sw = wj2[i] if sw is None else sw + wj2[i]
+                    row = jnp.sum(sw, axis=1, keepdims=True) * rowmask
+                    oh_hi, oh_lo = ohs[(lidx, slot)]
+                    # scatter by perm: hist[perm_p] += row_p, via the SAME
+                    # one-hots (bijection => exact; cf. onehot_accumulate)
+                    h2 = jax.lax.dot_general(
+                        oh_hi * row, oh_lo, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)     # [L,L]
+                    hist_refs[lidx][:, :] += h2
+
+    grid = None  # set in run_all (B from input shape)
+
+    def run_all(params, kd):
+        B = kd.shape[0]
+        # unpack the packed [L, L*2] tables into (pg, pi) [L, L] pairs
+        tabs = []
+        for lidx in dleaf:
+            tab = params["leaf"][lidx]["tab"].reshape(L, L, 2)
+            tabs += [tab[..., 0], tab[..., 1]]
+        atab = jnp.asarray(a_tab_np)
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # kd [B,2]
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # atab
+        ] + [pl.BlockSpec((L, L), lambda bb, tt: (0, 0),
+                          memory_space=pltpu.VMEM)] * (2 * len(dleaf))
+        out_shape = [jax.ShapeDtypeStruct((B, n), jnp.float32)] + [
+            jax.ShapeDtypeStruct((L, L), jnp.float32) for _ in adapt_leaves]
+        out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
+            pl.BlockSpec((L, L), lambda bb, tt: (0, 0),
+                         memory_space=pltpu.VMEM)] * len(adapt_leaves)
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B, nchunks),
+            in_specs=in_specs,
+            out_shape=out_shape,
+            out_specs=out_specs,
+            # the TPU interpreter (not the generic one) implements the
+            # pltpu prng primitives, enabling CPU tests of this kernel
+            interpret=pltpu.InterpretParams() if interpret else False,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(kd, atab, *tabs)
+
+        obs_b = outs[0]
+        hist_out = {lidx: h for lidx, h in zip(adapt_leaves, outs[1:])}
+        hists = []
+        for lidx, li in enumerate(leaves):
+            if lidx in hist_out:
+                hists.append(hist_out[lidx].reshape(NP))
+            else:
+                from .lookup import padded_hist_size
+                hists.append(jnp.zeros(padded_hist_size(li.nhist),
+                                       jnp.float32))
+        norm_b = jnp.full((B,), float(nb * m_tile * nchunks), jnp.float32)
+        return obs_b, norm_b, hists
+
+    return run_all

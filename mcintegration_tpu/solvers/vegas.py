@@ -67,7 +67,7 @@ class VegasIteration:
     def __init__(self, spec: Spec, integrand: Callable, *, measure=None,
                  inplace=False, measurefreq=1, block=16, nevalperblock=10000,
                  mesh=None, max_chunk=131072, weight_dtype=jnp.float32,
-                 obs_proto=None):
+                 obs_proto=None, backend="auto"):
         self.spec = spec
         self.block = block
         self.mesh = mesh
@@ -125,6 +125,38 @@ class VegasIteration:
         self.plans = plans
 
         eval_fn = spec.make_eval(integrand, inplace, weight_dtype)
+
+        # ---- Pallas fast path (ops/pallas_vegas.py): fully fused chunk
+        # kernel with hardware PRNG; falls back to the XLA pipeline for
+        # specs it cannot serve (Discrete, measure, complex, mf>1, ...) ----
+        self.backend = "xla"
+        pallas_run_all = None
+        if backend in ("auto", "pallas"):
+            from ..ops import pallas_vegas
+            if pallas_vegas.eligible(spec, plans, measure=measure,
+                                     measurefreq=measurefreq,
+                                     weight_dtype=weight_dtype):
+                devs = (np.asarray(mesh.devices).ravel() if mesh is not None
+                        else jax.devices())
+                interp = devs[0].platform == "cpu"
+                eval_b = pallas_vegas.make_eval_batched(
+                    spec, integrand, inplace, weight_dtype)
+                if ((backend == "pallas" or not interp)
+                        and pallas_vegas.validate_batched(
+                            spec, eval_b, eval_fn)):
+                    nb0 = next(p["nb"] for li, p in zip(spec.leaves, plans)
+                               if li.ndraw > 0 and p is not None)
+                    m_tile = pallas_vegas.pick_m_tile(
+                        spec, nb0, max(1, nevalperblock // nb0))
+                    self.chunk = nb0 * m_tile
+                    self.nchunks = max(
+                        1, -(-nevalperblock // self.chunk))
+                    self.nevalperblock = self.chunk * self.nchunks
+                    pallas_run_all = pallas_vegas.build_run_all(
+                        spec, plans, eval_b, nchunks=self.nchunks,
+                        m_tile=m_tile, interpret=interp)
+                    self.backend = "pallas"
+
         n = spec.N
         mf = measurefreq
         uc = spec.uconfig
@@ -296,6 +328,9 @@ class VegasIteration:
                 params, block_keys)
             hists = [jnp.sum(h, axis=0) for h in hists_b]
             return obs_b, norm_b, hists
+
+        if pallas_run_all is not None:
+            run_all = pallas_run_all
 
         if mesh is not None and np.prod(
                 [mesh.shape[a] for a in mesh.axis_names]) > 1:

@@ -1,0 +1,124 @@
+"""Pallas fast-path tests (ops/pallas_vegas.py), run in TPU-interpret mode.
+
+On CPU the interpret path substitutes a counter-hash RNG for the hardware
+PRNG (see ops/pallas_vegas.py:_make_rng), so these tests exercise every
+kernel line except the hardware prng primitive itself.  Real-chip accuracy
+is covered by bench.py's 5-sigma sanity gate and benchmarks/suite.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcintegration_tpu.configuration import Configuration
+from mcintegration_tpu.models.variable import Continuous, Discrete
+from mcintegration_tpu.solvers.engine import Spec
+from mcintegration_tpu.solvers.vegas import VegasIteration
+
+
+def _pi(x, c):
+    return jnp.where(x[0] ** 2 + x[1] ** 2 < 1.0, 1.0, 0.0)
+
+
+def _run(it, seed=3):
+    st = it.run(it.spec.device_params(), jax.random.key(seed))
+    m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+    return st, m.mean(), m.std(ddof=1) / np.sqrt(len(m))
+
+
+def test_pallas_pi_statistical():
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1)
+    spec = Spec(cfg)
+    it = VegasIteration(spec, _pi, block=8, nevalperblock=2 ** 15,
+                        backend="pallas")
+    assert it.backend == "pallas"
+    st, mean, err = _run(it)
+    assert abs(mean - np.pi / 4) < 7 * max(err, 1e-9)
+    # histogram collected for training
+    assert st["hists"][0].sum() > 0
+
+
+def test_pallas_matches_xla_statistically():
+    res = {}
+    for be in ("xla", "pallas"):
+        cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=5)
+        spec = Spec(cfg)
+        it = VegasIteration(spec, _pi, block=8, nevalperblock=2 ** 15,
+                            backend=be)
+        _, mean, err = _run(it)
+        res[be] = (mean, err)
+    d = abs(res["xla"][0] - res["pallas"][0])
+    s = np.hypot(res["xla"][1], res["pallas"][1])
+    assert d < 7 * max(s, 1e-9)
+
+
+def test_pallas_deterministic_same_seed():
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1)
+    spec = Spec(cfg)
+    it = VegasIteration(spec, _pi, block=4, nevalperblock=2 ** 14,
+                        backend="pallas")
+    p = spec.device_params()
+    a = it.run(p, jax.random.key(9))
+    b = it.run(p, jax.random.key(9))
+    assert np.array_equal(a["obs_blocks"], b["obs_blocks"])
+
+
+def test_pallas_padding_multi_integrand():
+    # two integrands with different dof: exercises the padding factors
+    def f(x, c):
+        return (x[0], jnp.where(x[0] ** 2 + x[1] ** 2 < 1.0, 1.0, 0.0))
+
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[1], [2]], seed=2)
+    spec = Spec(cfg)
+    it = VegasIteration(spec, f, block=8, nevalperblock=2 ** 15,
+                        backend="pallas")
+    assert it.backend == "pallas"
+    st = it.run(spec.device_params(), jax.random.key(4))
+    m0 = st["obs_blocks"][:, 0] / st["norm_blocks"]
+    m1 = st["obs_blocks"][:, 1] / st["norm_blocks"]
+    e0 = m0.std(ddof=1) / np.sqrt(8)
+    e1 = m1.std(ddof=1) / np.sqrt(8)
+    assert abs(m0.mean() - 0.5) < 7 * max(e0, 1e-9)
+    assert abs(m1.mean() - np.pi / 4) < 7 * max(e1, 1e-9)
+
+
+def test_pallas_fallbacks_to_xla():
+    # Discrete leaf cannot stratify -> xla
+    cfg = Configuration(var=(Continuous(0.0, 1.0), Discrete(1, 10)),
+                        dof=[[1, 1]], seed=1)
+    spec = Spec(cfg)
+    it = VegasIteration(spec, lambda x, c: x[0][0] * 1.0, block=4,
+                        nevalperblock=2 ** 12, backend="auto")
+    assert it.backend == "xla"
+
+    # measurefreq > 1 -> xla
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1)
+    spec = Spec(cfg)
+    it = VegasIteration(spec, _pi, block=4, nevalperblock=2 ** 12,
+                        measurefreq=2, backend="auto")
+    assert it.backend == "xla"
+
+    # non-elementwise integrand (couples samples) -> caught by the
+    # validate_batched equivalence probe -> xla
+    def bad(x, c):
+        return x[0] * jnp.mean(x)  # mean over slots per sample vs global
+
+    spec = Spec(Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1))
+    it = VegasIteration(spec, bad, block=4, nevalperblock=2 ** 12,
+                        backend="pallas")
+    assert it.backend == "xla"
+
+
+def test_pallas_integrate_end_to_end():
+    """Full adaptive run through integrate() with the pallas backend."""
+    from mcintegration_tpu.main import integrate
+
+    res = integrate(lambda x, c: -jnp.log(jnp.maximum(x[0], 1e-30))
+                    / jnp.sqrt(jnp.maximum(x[0], 1e-30)) / 4.0,
+                    var=Continuous(0.0, 1.0), dof=[[1]], neval=2 ** 16,
+                    niter=4, block=8, verbose=-2, seed=11,
+                    solver="vegas", backend="pallas")
+    mean = float(np.asarray(res.mean[0]))
+    err = float(np.asarray(res.stdev[0]))
+    assert abs(mean - 1.0) < 10 * max(err, 1e-9)
