@@ -145,7 +145,8 @@ def integrate(integrand: Callable, *,
             spec, integrand, measure=measure, inplace=inplace,
             measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
             mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable,
-            nwalkers=nwalkers, min_steps_per_walker=min_steps_per_walker)
+            nwalkers=nwalkers, min_steps_per_walker=min_steps_per_walker,
+            backend=backend)
     elif solver == "mcmc":
         from .solvers.mcmc import MCMCIteration
         it_kernel = MCMCIteration(

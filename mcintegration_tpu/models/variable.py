@@ -124,7 +124,7 @@ class Continuous(_LeafVar):
             if upper is not None:
                 raise TypeError("pass bounds as first argument only")
             grids = kwargs.pop("grid", [None] * len(bounds))
-            nincs = kwargs.pop("ninc", [1000] * len(bounds))
+            nincs = kwargs.pop("ninc", [1024] * len(bounds))
             if np.isscalar(nincs):
                 nincs = [nincs] * len(bounds)
             members = [
@@ -140,7 +140,7 @@ class Continuous(_LeafVar):
         return super().__new__(cls)
 
     def __init__(self, lower, upper=None, size=MAX_ORDER, *, offset=0, alpha=2.0,
-                 adapt=True, ninc=1000, grid=None):
+                 adapt=True, ninc=1024, grid=None):
         if upper is None:
             return  # composite path handled in __new__
         lower, upper = float(lower), float(upper)
@@ -154,7 +154,12 @@ class Continuous(_LeafVar):
         self.adapt = bool(adapt)
         self.size = int(size)
         if grid is None:
-            grid = np.linspace(lower, upper, int(ninc), dtype=np.float64)
+            # ninc = number of INCREMENTS (the reference's ninc counts grid
+            # points, variable.jl:137 -> ninc-1 increments).  Default 1024:
+            # a power of two keeps the packed lookup tables fully dense
+            # (L*L = ninc) and lets the Pallas chain kernel express map
+            # draws as cyclic lattice rolls.
+            grid = np.linspace(lower, upper, int(ninc) + 1, dtype=np.float64)
         self.grid = np.asarray(grid, dtype=np.float64).copy()
         self.ninc = self.grid.shape[0] - 1
         self.histogram = np.full(self.ninc, HIST_FLOOR, dtype=np.float64)

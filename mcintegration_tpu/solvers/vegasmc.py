@@ -62,7 +62,7 @@ class VegasMCIteration:
     def __init__(self, spec: Spec, integrand: Callable, *, measure=None,
                  inplace=False, measurefreq=1, block=16, nevalperblock=10000,
                  mesh=None, weight_dtype=jnp.float32, obs_proto=None,
-                 nwalkers=None, min_steps_per_walker=256):
+                 nwalkers=None, min_steps_per_walker=256, backend="auto"):
         self.spec = spec
         self.block = block
         self.mesh = mesh
@@ -79,6 +79,42 @@ class VegasMCIteration:
         self.nwalkers = Wg
         self.nsteps = nsteps
         self.neval = Wg * nsteps
+
+        # ---- fused Pallas chain kernel (ops/pallas_chain.py) ----
+        self.backend = "xla"
+        if backend in ("auto", "pallas") and ndev == 1:
+            from ..ops import pallas_chain, pallas_vegas
+            devs = jax.devices()
+            interp = devs[0].platform == "cpu"
+            if ((backend == "pallas" or not interp)
+                    and pallas_chain.chain_eligible(
+                        spec, measure=measure, weight_dtype=weight_dtype)):
+                eval_b = pallas_vegas.make_eval_batched(
+                    spec, integrand, inplace, weight_dtype)
+                eval_fn_probe = spec.make_eval(integrand, inplace,
+                                               weight_dtype)
+                if pallas_vegas.validate_batched(spec, eval_b,
+                                                 eval_fn_probe):
+                    S = 16
+                    wtiles = max(1, W // (block * S * 128))
+                    Wg = block * wtiles * S * 128
+                    self.nwalkers = Wg
+                    self.nsteps = max(int(neval) // Wg, 8)
+                    self.neval = Wg * self.nsteps
+                    run_all_pallas = pallas_chain.build_chain_run_all(
+                        spec, eval_b, block=block, wtiles=wtiles, S=S,
+                        nsteps=self.nsteps, mf=measurefreq,
+                        interpret=interp)
+                    self.backend = "pallas"
+
+                    def raw(params, kd_rows):
+                        return run_all_pallas(params, kd_rows)
+
+                    self.raw_fn = raw
+                    self._fn = jax.jit(raw)
+                    self._ndev = 1
+                    self._pallas_rows = block * wtiles
+                    return
         n = spec.N
         nd = n + 1
         nvar = spec.nvar
@@ -281,8 +317,9 @@ class VegasMCIteration:
             self._ndev = 1
 
     def run(self, params, key):
-        kd = np.asarray(jax.random.key_data(
-            jax.random.split(key, self._ndev)))
+        nrows = (self._pallas_rows if self.backend == "pallas"
+                 else self._ndev)
+        kd = np.asarray(jax.random.key_data(jax.random.split(key, nrows)))
         keys = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
         obs_b, norm_b, visited, hists, prop_cnt, acc_cnt = self._fn(params, keys)
         obs_b = decode_complex_numpy(jax.tree_util.tree_map(gather_rows, obs_b))

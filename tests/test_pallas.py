@@ -122,3 +122,61 @@ def test_pallas_integrate_end_to_end():
     mean = float(np.asarray(res.mean[0]))
     err = float(np.asarray(res.stdev[0]))
     assert abs(mean - 1.0) < 10 * max(err, 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# :vegasmc fused chain kernel (ops/pallas_chain.py)
+# ---------------------------------------------------------------------------
+
+def test_chain_matches_xla_statistically():
+    from mcintegration_tpu.solvers.vegasmc import VegasMCIteration
+
+    res = {}
+    for be in ("xla", "pallas"):
+        cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=5)
+        spec = Spec(cfg)
+        it = VegasMCIteration(spec, _pi, block=4, nevalperblock=2 ** 15,
+                              backend=be, nwalkers=8192)
+        assert it.backend == be
+        st = it.run(spec.device_params(), jax.random.key(3))
+        m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+        acc = st["accept"][1, 0, 0] / max(st["propose"][1, 0, 0], 1)
+        res[be] = (m.mean(), m.std(ddof=1) / 2, acc)
+    d = abs(res["xla"][0] - res["pallas"][0])
+    s = np.hypot(res["xla"][1], res["pallas"][1])
+    assert d < 7 * max(s, 1e-9)
+    # chain law parity: acceptance rates agree closely
+    assert abs(res["xla"][2] - res["pallas"][2]) < 0.02
+
+
+def test_chain_fallbacks():
+    from mcintegration_tpu.solvers.vegasmc import VegasMCIteration
+
+    # Discrete leaf -> xla
+    cfg = Configuration(var=(Continuous(0.0, 1.0), Discrete(1, 10)),
+                        dof=[[1, 1]], seed=1)
+    spec = Spec(cfg)
+    it = VegasMCIteration(spec, lambda x, c: x[0][0] * 1.0, block=4,
+                          nevalperblock=2 ** 12, backend="pallas")
+    assert it.backend == "xla"
+
+    # non-power-of-two ninc -> xla (lattice-roll requirement)
+    cfg = Configuration(var=Continuous(0.0, 1.0, ninc=1000), dof=[[2]],
+                        seed=1)
+    spec = Spec(cfg)
+    it = VegasMCIteration(spec, _pi, block=4, nevalperblock=2 ** 12,
+                          backend="pallas")
+    assert it.backend == "xla"
+
+
+def test_chain_integrate_adaptive():
+    from mcintegration_tpu.main import integrate
+
+    res = integrate(lambda x, c: -jnp.log(jnp.maximum(x[0], 1e-30))
+                    / jnp.sqrt(jnp.maximum(x[0], 1e-30)) / 4.0,
+                    var=Continuous(0.0, 1.0), dof=[[1]], neval=2 ** 16,
+                    niter=4, block=4, verbose=-2, seed=11,
+                    solver="vegasmc", backend="pallas", nwalkers=4096)
+    mean = float(np.asarray(res.mean[0]))
+    err = float(np.asarray(res.stdev[0]))
+    assert abs(mean - 1.0) < 10 * max(err, 1e-9)

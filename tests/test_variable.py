@@ -16,7 +16,7 @@ from mcintegration_tpu.solvers.engine import Spec
 def test_continuous_ctor():
     v = Continuous(0.0, 1.0)
     assert v.lower == 0.0 and v.upper == 1.0
-    assert v.grid.shape == (1000,)
+    assert v.grid.shape == (1025,)  # 1024 increments
     assert np.all(np.diff(v.grid) > 0)
     with pytest.raises(AssertionError):
         Continuous(1.0, 0.0)
@@ -121,9 +121,9 @@ def test_pool_autogrow():
 
 
 def test_train_clears_histogram():
-    v = Continuous(0.0, 1.0, ninc=10)  # 10 grid points -> 9 bins (variable.jl:147-149)
-    assert v.histogram.shape == (9,)
-    v.histogram[:] = np.linspace(1, 2, 9)
+    v = Continuous(0.0, 1.0, ninc=10)  # ninc counts increments here
+    assert v.histogram.shape == (10,)
+    v.histogram[:] = np.linspace(1, 2, 10)
     g0 = v.grid.copy()
     v.train()
     assert not np.allclose(v.grid, g0)
@@ -132,7 +132,7 @@ def test_train_clears_histogram():
 
 def test_nonadaptive_train_is_noop():
     v = Continuous(0.0, 1.0, adapt=False, ninc=10)
-    v.histogram[:] = np.linspace(1, 2, 9)
+    v.histogram[:] = np.linspace(1, 2, 10)
     g0 = v.grid.copy()
     v.train()
     np.testing.assert_array_equal(v.grid, g0)
