@@ -82,9 +82,10 @@ class VegasMCIteration:
 
         # ---- fused Pallas chain kernel (ops/pallas_chain.py) ----
         self.backend = "xla"
-        if backend in ("auto", "pallas") and ndev == 1:
+        if backend in ("auto", "pallas"):
             from ..ops import pallas_chain, pallas_vegas
-            devs = jax.devices()
+            devs = (np.asarray(mesh.devices).ravel() if mesh is not None
+                    else jax.devices())
             interp = devs[0].platform == "cpu"
             if ((backend == "pallas" or not interp)
                     and pallas_chain.chain_eligible(
@@ -93,11 +94,24 @@ class VegasMCIteration:
                     spec, integrand, inplace, weight_dtype)
                 eval_fn_probe = spec.make_eval(integrand, inplace,
                                                weight_dtype)
-                if pallas_vegas.validate_batched(spec, eval_b,
-                                                 eval_fn_probe):
-                    S = 16
+                # per-device shapes: `block` and `W` are already local.
+                # Pick the largest walker tile that (a) fits the requested
+                # walker budget without inflating it (which would shorten
+                # chains below the requested length) and (b) keeps S*128 a
+                # multiple of every ninc (lattice rolls); if none fits (or
+                # the batched-eval probe fails), use the XLA path.
+                S = 0
+                for cand in (16, 8):
+                    if block * cand * 128 > W:
+                        continue
+                    if all((cand * 128) % li.leaf.ninc == 0
+                           for li in spec.leaves if li.ndraw > 0):
+                        S = cand
+                        break
+                if S > 0 and pallas_vegas.validate_batched(spec, eval_b,
+                                                           eval_fn_probe):
                     wtiles = max(1, W // (block * S * 128))
-                    Wg = block * wtiles * S * 128
+                    Wg = block * wtiles * S * 128 * ndev
                     self.nwalkers = Wg
                     self.nsteps = max(int(neval) // Wg, 8)
                     self.neval = Wg * self.nsteps
@@ -106,14 +120,35 @@ class VegasMCIteration:
                         nsteps=self.nsteps, mf=measurefreq,
                         interpret=interp)
                     self.backend = "pallas"
+                    rows_local = block * wtiles
 
-                    def raw(params, kd_rows):
-                        return run_all_pallas(params, kd_rows)
+                    if ndev > 1:
+                        axis = mesh.axis_names[0]
 
-                    self.raw_fn = raw
-                    self._fn = jax.jit(raw)
-                    self._ndev = 1
-                    self._pallas_rows = block * wtiles
+                        def sharded(params, kd):
+                            def local(params, kd):
+                                o, nb, vis, hists, pc, ac = run_all_pallas(
+                                    params, kd)
+                                vis = jax.lax.psum(vis, axis)
+                                hists = [jax.lax.psum(h, axis) for h in hists]
+                                pc = jax.lax.psum(pc, axis)
+                                ac = jax.lax.psum(ac, axis)
+                                return o, nb, vis, hists, pc, ac
+
+                            return jax.shard_map(
+                                local, mesh=mesh,
+                                in_specs=(P(), P(axis)),
+                                out_specs=(P(axis), P(axis), P(), P(),
+                                           P(), P()),
+                                check_vma=False,
+                            )(params, kd)
+
+                        self.raw_fn = sharded
+                    else:
+                        self.raw_fn = run_all_pallas
+                    self._fn = jax.jit(self.raw_fn)
+                    self._ndev = ndev
+                    self._pallas_rows = rows_local * ndev
                     return
         n = spec.N
         nd = n + 1

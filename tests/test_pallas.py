@@ -180,3 +180,34 @@ def test_chain_integrate_adaptive():
     mean = float(np.asarray(res.mean[0]))
     err = float(np.asarray(res.stdev[0]))
     assert abs(mean - 1.0) < 10 * max(err, 1e-9)
+
+
+def test_pallas_sharded_over_mesh():
+    """Both Pallas kernels compose with shard_map over the CPU mesh."""
+    from mcintegration_tpu.parallel.mesh import make_mesh
+    from mcintegration_tpu.solvers.vegasmc import VegasMCIteration
+
+    ndev = len(jax.devices())
+    if ndev < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_mesh(ndev)
+
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1)
+    spec = Spec(cfg)
+    it = VegasIteration(spec, _pi, block=2 * ndev, nevalperblock=2 ** 14,
+                        mesh=mesh, backend="pallas")
+    assert it.backend == "pallas"
+    st = it.run(spec.device_params(), jax.random.key(3))
+    m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+    err = m.std(ddof=1) / np.sqrt(len(m))
+    assert abs(m.mean() - np.pi / 4) < 7 * max(err, 1e-9)
+
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=2)
+    spec = Spec(cfg)
+    it = VegasMCIteration(spec, _pi, block=ndev, nevalperblock=2 ** 15,
+                          mesh=mesh, backend="pallas", nwalkers=ndev * 2048)
+    assert it.backend == "pallas"
+    st = it.run(spec.device_params(), jax.random.key(4))
+    m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+    err = m.std(ddof=1) / np.sqrt(len(m))
+    assert abs(m.mean() - np.pi / 4) < 10 * max(err, 1e-9)
