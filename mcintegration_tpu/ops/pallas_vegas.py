@@ -240,12 +240,13 @@ def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
 
     def kernel(kd_ref, atab_ref, *refs):
         # refs = pg_0, pi_0, ..., pg_{nleaf-1}, pi_{nleaf-1},
-        #        obs_ref, hist_ref_0, ... (adapt leaves only)
+        #        obs_ref, hist_ref_0, ... (adapt leaves only), comp scratch
         pg_refs = {lidx: refs[2 * k] for k, lidx in enumerate(dleaf)}
         pi_refs = {lidx: refs[2 * k + 1] for k, lidx in enumerate(dleaf)}
         obs_ref = refs[2 * len(dleaf)]
         hist_refs = {lidx: refs[2 * len(dleaf) + 1 + k]
                      for k, lidx in enumerate(adapt_leaves)}
+        comp_ref = refs[-1]    # SMEM scratch [B, n]: Kahan compensation
 
         b = pl.program_id(0)
         t = pl.program_id(1)
@@ -319,6 +320,7 @@ def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
         def _():
             for i in range(n):
                 obs_ref[b, i] = 0.0
+                comp_ref[b, i] = 0.0
 
         for i in range(n):
             factor = jac * rowmask
@@ -330,7 +332,14 @@ def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
             # a flat f32 sum over ~1M elements accumulates O(sqrt(N) ulp)
             # rounding bias (measured -7e-5 at m_tile=1024)
             rowsum = jnp.sum(weights[i] * factor, axis=1, keepdims=True)
-            obs_ref[b, i] += jnp.sum(rowsum)
+            contrib = jnp.sum(rowsum)
+            # Kahan across chunks: one heavy-tailed sample (singular
+            # integrands) would otherwise absorb every later chunk's sum
+            # (the XLA path uses ops/ksum.py for the same reason)
+            y = contrib - comp_ref[b, i]
+            tt = obs_ref[b, i] + y
+            comp_ref[b, i] = (tt - obs_ref[b, i]) - y
+            obs_ref[b, i] = tt
 
         # ---- histograms: slot weight (|w_i| jac)^2 summed over users ----
         if adapt_leaves:
@@ -389,6 +398,7 @@ def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
             in_specs=in_specs,
             out_shape=out_shape,
             out_specs=out_specs,
+            scratch_shapes=[pltpu.SMEM((B, n), jnp.float32)],
             # the TPU interpreter (not the generic one) implements the
             # pltpu prng primitives, enabling CPU tests of this kernel
             interpret=pltpu.InterpretParams() if interpret else False,
