@@ -20,8 +20,10 @@ from __future__ import annotations
 import numpy as np
 
 # Reference: TINY = eps(Float64(0)) * 1e50 ≈ 4.94e-274 (MCIntegration.jl:11)
-# used as a floor for probabilities on the host side.
-TINY = np.finfo(np.float64).tiny * 1e-16  # conservative tiny float64
+# used as a *positive* floor for probabilities on the host side.
+# eps(Float64(0)) is the smallest subnormal (5e-324 = np.nextafter(0, 1)).
+TINY = float(np.nextafter(np.float64(0.0), np.float64(1.0)) * 1e50)
+assert TINY > 0.0  # a zero floor would make every `p > TINY` guard a no-op
 EPSILON = np.finfo(np.float64).eps
 
 # Device-side (float32) floor used when guarding divisions / logs.

@@ -90,7 +90,10 @@ def integrate(integrand: Callable, *,
     Mirrors the reference keyword surface (src/main.jl:71-90); extra
     TPU-specific knobs: ``mesh`` (a jax Mesh whose first axis shards the
     block/walker dimension), ``nwalkers``/``min_steps_per_walker`` (Markov
-    solvers), ``dtype`` (device compute dtype).
+    solvers), ``dtype`` (device compute dtype), and ``backend``
+    ('auto'/'pallas'/'xla'): 'auto' uses the fused Pallas TPU kernel when
+    the spec is eligible, 'xla' forces the portable XLA pipeline, 'pallas'
+    insists on the fused kernel (warning if the solver has none).
     ``kwargs`` are passed through to :class:`Configuration`.
     """
     verbose = max(print, verbose)
@@ -126,6 +129,11 @@ def integrate(integrand: Callable, *,
                         str(solver).lstrip(":"), weight_dtype)
 
     solver = str(solver).lstrip(":")
+    if backend == "pallas" and solver in ("vegas+", "vegasplus"):
+        import sys
+        sys.stderr.write(yellow(
+            f"backend='pallas' requested but solver {solver!r} has no "
+            "fused Pallas path; running the XLA pipeline.\n"))
     if solver in ("vegas+", "vegasplus"):
         from .solvers.vegasplus import VegasPlusIteration
         solver = "vegas"  # downstream (reweight/train) semantics are :vegas

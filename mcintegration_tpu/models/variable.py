@@ -112,6 +112,15 @@ class Continuous(_LeafVar):
     Mirrors ``Dist.Continuous`` (variable.jl:87-153).  ``Continuous(bounds)``
     with a list of (lower, upper) pairs returns a :class:`CompositeVar` of
     independent pools, mirroring variable.jl:174-187.
+
+    ``ninc`` semantics differ from the reference: here ``ninc`` counts grid
+    INCREMENTS (``linspace(lower, upper, ninc+1)``), while the reference's
+    ``ninc`` counts grid points (``LinRange(lower, upper, ninc)`` =>
+    ``ninc-1`` increments, variable.jl:137); the default is 1024 increments
+    (reference: 1000 points) — a power of two so the packed lookup tables
+    stay dense and the Pallas chain kernels can use lattice-roll draws.  A
+    config ported from the reference with an explicit ``ninc`` therefore
+    gets one more increment; adaptive training makes this immaterial.
     """
 
     value_dtype = jnp.float32

@@ -73,7 +73,9 @@ def chain_eligible(spec, *, measure, weight_dtype, S: int = 16) -> bool:
 
     if measure is not None:
         return False
-    if jnp.issubdtype(weight_dtype, jnp.complexfloating):
+    # the kernel's VMEM accumulators and fori_loop carry are float32; any
+    # other weight dtype would promote the carry mid-loop (hard trace error)
+    if weight_dtype != jnp.float32:
         return False
     drawn = [li for li in spec.leaves if li.ndraw > 0]
     if not drawn:
@@ -85,6 +87,19 @@ def chain_eligible(spec, *, measure, weight_dtype, S: int = 16) -> bool:
         ninc = li.leaf.ninc
         if ninc & (ninc - 1) or w_inst % ninc:   # lattice-roll requirement
             return False
+    # VMEM working-set bound: per-walker-tile f32 arrays (slot state ×2 for
+    # the proposal copies, weights/pads ×2, accumulators) + the stacked
+    # lattice bases + histograms must fit the per-core budget with headroom
+    # for Mosaic temporaries.
+    n, nd, nvar = spec.N, spec.N + 1, spec.nvar
+    nslots = sum(li.ndraw for li in drawn)
+    tile = S * 128 * 4
+    tiles = 6 * nslots + 3 * n + 3 * nd + 2 * nvar + 10
+    bases = sum(2 * N_LATTICE * tile for _ in drawn)
+    hists = sum(level_size(li.leaf.ninc) ** 2 * 4 for li in drawn
+                if getattr(li.leaf, "adapt", False))
+    if tiles * tile + bases + hists > 48 * 1024 * 1024:
+        return False
     return True
 
 

@@ -190,7 +190,9 @@ def eligible(spec, plans, *, measure, measurefreq, weight_dtype,
     """Can the Pallas fast path run this spec? (conservative static checks)"""
     if measure is not None or measurefreq != 1:
         return False
-    if jnp.issubdtype(weight_dtype, jnp.complexfloating):
+    # kernel accumulators (obs SMEM rows, Kahan compensation, histograms)
+    # are float32; any other weight dtype must take the XLA path
+    if weight_dtype != jnp.float32:
         return False
     drawn = [(li, plan) for li, plan in zip(spec.leaves, plans) if li.ndraw > 0]
     if not drawn:

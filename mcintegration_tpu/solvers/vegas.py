@@ -148,6 +148,14 @@ class VegasIteration:
                                if li.ndraw > 0 and p is not None)
                     m_tile = pallas_vegas.pick_m_tile(
                         spec, nb0, max(1, nevalperblock // nb0))
+                    # keep the rounded-up budget within ~1.1x of the request
+                    # (a 2048-sample tile could otherwise nearly double it)
+                    def _overshoot(m):
+                        ch = nb0 * m
+                        return ch * max(1, -(-nevalperblock // ch))
+                    while (m_tile > 128
+                           and _overshoot(m_tile) > 1.1 * nevalperblock):
+                        m_tile //= 2
                     self.chunk = nb0 * m_tile
                     self.nchunks = max(
                         1, -(-nevalperblock // self.chunk))

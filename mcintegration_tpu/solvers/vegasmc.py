@@ -66,6 +66,12 @@ class VegasMCIteration:
         self.spec = spec
         self.block = block
         self.mesh = mesh
+        from ..models.variable import FermiK
+        for li in spec.leaves:
+            if isinstance(li.leaf, FermiK) and li.ndraw > 0:
+                raise NotImplementedError(
+                    "FermiK pools are supported by the :mcmc solver only "
+                    "(reference capability boundary, test/bubble_FermiK.jl:2)")
         ndev = 1
         if mesh is not None:
             ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))

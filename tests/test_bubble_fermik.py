@@ -60,6 +60,24 @@ def measure_i(idx, vars, relw, c):
     return [onehot * relw]
 
 
+def test_fermik_raises_in_vegas_solvers():
+    """FermiK is :mcmc-only (bubble_FermiK.jl:2): vegas AND vegasmc raise."""
+    for solver in ("vegas", "vegasmc"):
+        t = Continuous(0.0, 1.0)
+        k = FermiK(3, KF, 0.2 * KF, 10.0 * KF)
+        with pytest.raises(NotImplementedError):
+            integrate(lambda v, c: 1.0, var=(t, k), dof=[[1, 1]],
+                      solver=solver, neval=10_000, niter=2, verbose=-2)
+
+
+def test_tiny_is_positive():
+    """TINY must be a positive float64 floor (reference MCIntegration.jl:11)."""
+    from mcintegration_tpu.common import TINY
+    assert TINY > 0.0
+    assert np.isfinite(TINY)
+    assert TINY < 1e-200  # far below any physical probability
+
+
 def test_bubble_fermik_mcmc():
     t = Continuous(0.0, BETA_PHYS, alpha=3.0)
     k = FermiK(3, KF, 0.2 * KF, 10.0 * KF)
