@@ -50,8 +50,44 @@ def test2(x, c):
     )
 
 
+def scan_flat_cost(neval):
+    """Per-step wall time of :mcmc vs integrand count N=1..11.
+
+    The fused Pallas mcmc kernel (ops/pallas_mcmc.py) runs exactly ONE
+    batched integrand evaluation per step regardless of N (scheduled
+    single-integrand steps), so steps/s should stay ~flat — the property
+    SURVEY.md §5 requires (reference evaluates only the current integrand,
+    src/mcmc/montecarlo.jl:138-139).
+    """
+    import jax
+
+    print("devices:", jax.devices(), flush=True)
+    rows = []
+    for n in (1, 2, 4, 8, 11):
+        fi = lambda idx, x, c: test2(x, c)[idx]
+        kw = dict(var=Continuous(0.0, 1.0), dof=[[3]] * n, neval=neval,
+                  solver="mcmc", verbose=-2, seed=3)
+        integrate(fi, niter=2, **kw)             # compile + train warmup
+        t0 = time.time()
+        res = integrate(fi, niter=5, **kw)
+        dt = time.time() - t0
+        steps = res.neval
+        rows.append((n, steps / dt / 1e6, dt))
+        print(f"  N={n:>2}: {steps/dt/1e6:8.2f} M steps/s "
+              f"({n*steps/dt/1e6:8.1f} M component-capacity/s), "
+              f"wall {dt:.2f}s", flush=True)
+    base = rows[0][1]
+    worst = min(r[1] for r in rows)
+    print(f"flatness: slowest/N=1 = {worst/base:.2f} "
+          f"(1.0 = perfectly flat per-step cost)")
+
+
 def main():
     import jax
+    if len(sys.argv) > 1 and sys.argv[1] == "--scan":
+        neval = int(float(sys.argv[2])) if len(sys.argv) > 2 else 300_000_000
+        scan_flat_cost(neval)
+        return
     print("devices:", jax.devices(), flush=True)
     neval = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
     solver = sys.argv[2] if len(sys.argv) > 2 else "vegas"

@@ -162,7 +162,8 @@ def integrate(integrand: Callable, *,
             measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
             mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable,
             thermal_ratio=thermal_ratio,
-            nwalkers=nwalkers, min_steps_per_walker=min_steps_per_walker)
+            nwalkers=nwalkers, min_steps_per_walker=min_steps_per_walker,
+            backend=backend)
     else:
         raise ValueError(f"Solver {solver} is not supported!")
 

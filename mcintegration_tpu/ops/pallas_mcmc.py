@@ -1,0 +1,833 @@
+"""Fused Markov-chain Pallas kernel — the TPU hot path of the :mcmc solver.
+
+Reference chain law: src/mcmc/montecarlo.jl:72-184 + src/mcmc/updates.jl —
+Metropolis over the extended (integrand index, variables) space with update
+mix {changeIntegrand, swapVariable, changeVariable x 2*nvar} selected with
+probabilities (1, 1, 2*nvar)/(2*nvar+2), neighbor-graph jumps with
+create/remove proposal products, burn-in, and only the CURRENT integrand
+evaluated per step.
+
+The XLA scan path (solvers/mcmc.py) pays two TPU taxes: the walker-state
+carry round-trips HBM every step, and per-walker integrand heterogeneity
+forces ``lax.switch`` under ``vmap`` to evaluate ALL N branches (O(N) eval
+cost per step, which SURVEY.md §5 forbids for the huge-bundle regime this
+solver exists for).  This kernel fixes both:
+
+1. **VMEM-resident chains** (like ops/pallas_chain.py): each grid instance
+   owns S*128 walkers and runs all steps in a ``fori_loop``; per-step state
+   never touches HBM.
+
+2. **Scheduled single-integrand steps** — the O(1)-eval-per-step redesign.
+   Each step draws one scalar "active sector" j_t uniformly over the N
+   INTEGRAND sectors (state-independent schedule).  Per walker, mutually
+   exclusive roles:
+
+   - an independent "norm-coin" with probability q_w(i) = 1/(N*deg_i*C)
+     (C = 2*nvar+1) proposes the jump into the normalization sector —
+     needs no evaluation (p_norm = reweight[norm]);
+   - walkers currently AT j_t propose a changeVariable (or, on 1-in-C
+     steps, swapVariable);
+   - walkers at a NEIGHBOR of j_t propose the jump to j_t, thinned by a
+     coin with probability 1/(deg_i*C).
+
+   Every proposal needs only w_{j_t}, so each step runs EXACTLY ONE
+   batched integrand evaluation, dispatched on the scalar j_t through a
+   chain of ``pl.when`` blocks (real scalar-core branches: untaken bodies
+   do not execute).  Per-step eval cost is therefore independent of N,
+   and no step's evaluation is wasted on the evaluation-free norm sector.
+
+   Validity: with the schedule marginalized, the proposal density of the
+   jump i->j (both integrand sectors) is (1-q_w(i))/(N*deg_i*C) and of
+   j->i is (1-q_w(j))/(N*deg_j*C), so the Metropolis-Hastings correction
+   is the reference's neighbor-degree ratio deg_i/deg_j (updates.jl:1-70)
+   times (1-q_w(j))/(1-q_w(i)); for jumps i<->norm the coin density
+   q_w(i) = 1/(N*deg_i*C) exactly mirrors the out-jump's
+   (1/N)*(1/(deg_norm*C)), leaving the bare degree ratio.  The in-sector
+   thinning (1-q_w(i)) of CV/swap cancels between forward and reverse.
+   Per-walker rates of (CI : swap : CV) come out 1 : 1 : 2*nvar — the
+   reference mix.  A walker updates on ~(2nvar+2)/(N*(2nvar+1)) of steps
+   (vs every step for the reference's scalar walker); the SIMD lanes of
+   non-selected walkers ride along in the batched eval.  Statistical
+   efficiency per *evaluation* matches the reference's
+   one-eval-per-update; wall-clock throughput comes from the 2048-wide
+   batch.
+
+Proposal draws reuse the lattice-roll machinery of ops/pallas_chain.py for
+Continuous pools (power-of-two ninc) and threshold-count CDF inversion for
+Discrete pools (nbin <= 32, probabilities from SMEM scalars — gather-free).
+
+Like the reference (sampler.jl:306, createRollback! is a no-op), slots
+freshly created by a rejected changeIntegrand keep their new values: slots
+beyond the current dof never influence the chain law.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lookup import level_size, padded_hist_size
+from .pallas_vegas import _mix32, build_view
+
+HIST_EVERY = 8    # histogram subsample period (pallas_chain.py docstring)
+N_LATTICE = 8     # precomputed multiplier lattices per leaf (decorrelation)
+MAX_DISCRETE_NBIN = 32
+
+
+def _leaf_kind(leaf):
+    from ..models.variable import Continuous, Discrete
+    if isinstance(leaf, Continuous):
+        return "cont"
+    if isinstance(leaf, Discrete):
+        return "disc"
+    return None
+
+
+def mcmc_eligible(spec, *, measure, weight_dtype, S: int = 16) -> bool:
+    """Static checks for the fused mcmc kernel (else: XLA scan path)."""
+    if measure is not None:
+        return False
+    if weight_dtype != jnp.float32:
+        return False
+    nd = spec.N + 1
+    if nd > 31:            # adjacency bitmask lives in int32
+        return False
+    drawn = [li for li in spec.leaves if li.ndraw > 0]
+    if not drawn:
+        return False
+    w_inst = S * 128
+    ncont = 0
+    for li in spec.leaves:
+        kind = _leaf_kind(li.leaf)
+        if kind is None:
+            return False          # FermiK etc: XLA path
+        if li.ndraw == 0:
+            continue
+        if kind == "cont":
+            ncont += 1
+            ninc = li.leaf.ninc
+            if ninc & (ninc - 1) or w_inst % ninc:
+                return False      # lattice-roll requirement
+        else:
+            if li.leaf.nbin > MAX_DISCRETE_NBIN:
+                return False
+    # VMEM working-set bound (cf. pallas_chain.chain_eligible)
+    n, nvar = spec.N, spec.nvar
+    nslots = sum(li.ndraw for li in drawn)
+    tile = S * 128 * 4
+    tiles = 8 * nslots + 2 * n + 2 * nd + nvar + 24
+    bases = 2 * N_LATTICE * tile * ncont
+    hists = sum(level_size(li.leaf.nhist) ** 2 * 4 for li in drawn
+                if getattr(li.leaf, "adapt", False))
+    if tiles * tile + bases + hists > 48 * 1024 * 1024:
+        return False
+    return True
+
+
+def make_eval_batched_idx(spec, integrand, weight_dtype) -> List[Callable]:
+    """Per-integrand batched evals on [ndraw, S, 128] leaf values.
+
+    mcmc integrand convention: ``integrand(idx, var, config)``
+    (src/mcmc/montecarlo.jl:34); returns one function per integrand index.
+    """
+    from ..solvers.engine import _finite_guard
+
+    uc = spec.uconfig
+    _view = build_view(spec)
+
+    def make(i):
+        def _eval(leaf_vals):
+            v = _view(leaf_vals)
+            shape = leaf_vals[0].shape[1:]
+            w = jnp.asarray(integrand(i, v, uc), weight_dtype)
+            return _finite_guard(jnp.broadcast_to(w, shape))
+        return _eval
+
+    return [make(i) for i in range(spec.N)]
+
+
+def validate_batched_idx(spec, evals_b, integrand, weight_dtype) -> bool:
+    """Prove batched eval == per-sample eval for every integrand index."""
+    try:
+        rng = np.random.default_rng(12345)
+        leaf_vals = []
+        for li in spec.leaves:
+            kind = _leaf_kind(li.leaf)
+            nd_ = max(li.ndraw, 1)
+            if kind == "disc":
+                v = rng.integers(li.leaf.lower, li.leaf.upper + 1,
+                                 (nd_, 4, 2))
+                leaf_vals.append(jnp.asarray(v, jnp.int32)[: li.ndraw])
+            else:
+                lo = float(getattr(li.leaf, "lower", 0.0))
+                rg = float(getattr(li.leaf, "range", 1.0))
+                u = rng.uniform(0.05, 0.95, (nd_, 4, 2))
+                leaf_vals.append(jnp.asarray(lo + rg * u,
+                                             jnp.float32)[: li.ndraw])
+        for i in range(spec.N):
+            wb = evals_b[i](leaf_vals)
+            eval_one = spec.make_eval_one(integrand, i, weight_dtype)
+
+            def per_sample(vals):
+                return eval_one([{"val": v} for v in vals])
+
+            wv = jax.vmap(jax.vmap(per_sample, in_axes=-1, out_axes=-1),
+                          in_axes=-1, out_axes=-1)(leaf_vals)
+            if not bool(jnp.allclose(wb, wv, rtol=1e-5, atol=1e-6)):
+                return False
+        return True
+    except Exception:
+        return False
+
+
+def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
+                       wtiles: int, S: int, nsteps: int, nburnin: int,
+                       mf: int, interpret: bool = False):
+    """Return run_all(params, kd [B*wtiles, 2] uint32) with the contract
+    (obs [block, n], norm [block], visited [nd], hists, pc [1,3], ac [1,3],
+    eval_steps [scalar f32]): per-block observable/normalization sums,
+    per-sector visited tallies, per-leaf padded histograms, per-update-kind
+    aggregate proposal/acceptance counts, and the number of steps that ran
+    an integrand evaluation (for honest neval accounting).
+    """
+    n = spec.N
+    nd = n + 1
+    norm = spec.norm
+    nvar = spec.nvar
+    leaves = spec.leaves
+    dleaf = [i for i, li in enumerate(leaves) if li.ndraw > 0]
+    cleaf = [i for i in dleaf if _leaf_kind(leaves[i].leaf) == "cont"]
+    xleaf = [i for i in dleaf if _leaf_kind(leaves[i].leaf) == "disc"]
+    f32 = jnp.float32
+    i32 = jnp.int32
+    LN = 128
+    NF = S * LN
+    C = 2 * nvar + 1          # thinning constant: mix (1,1,2nvar)/(2nvar+2)
+    hk = min(HIST_EVERY, max(nsteps // mf, 1))
+    ntot = nsteps + nburnin
+    adapt_leaves = [i for i in dleaf if getattr(leaves[i].leaf, "adapt",
+                                                False)]
+    Ls = {i: level_size(leaves[i].leaf.nhist) for i in adapt_leaves}
+    eligible_groups = [g for g in range(nvar) if spec.maxdof[g] > 0]
+
+    # static host tables ---------------------------------------------------
+    deg_np = np.asarray([len(a) for a in spec.cfg.neighbor], np.float32)
+    adjb_np = np.zeros((nd,), np.int32)
+    for i, adj in enumerate(spec.cfg.neighbor):
+        m = 0
+        for j in adj:
+            m |= (1 << int(j))
+        adjb_np[i] = m
+    dof_np = np.asarray(spec.cfg.dof, np.int32)          # [nd, nvar]
+
+    def kernel(kd_ref, rw_ref, deg_ref, adjb_ref, dof_ref, *refs):
+        # refs: atab (SMEM [ncont, R] i32), per cont leaf (pgbase, pibase)
+        # VMEM [R*S, 128]; per disc leaf (cdf SMEM [nbin+1], dist SMEM
+        # [nbin]); outs: obs (SMEM [B, n]), norm (SMEM [B, 1]), visited
+        # (SMEM [1, nd]), pc/ac (SMEM [1, 3]), evsteps (SMEM [1,1]),
+        # hist per adapt leaf (VMEM [L, L]); scratch: neww (VMEM (S,128)).
+        o = 0
+        atab_ref = refs[o]; o += 1
+        pgb, pib = {}, {}
+        for lidx in cleaf:
+            pgb[lidx] = refs[o]; pib[lidx] = refs[o + 1]; o += 2
+        cdfr, distr = {}, {}
+        for lidx in xleaf:
+            cdfr[lidx] = refs[o]; distr[lidx] = refs[o + 1]; o += 2
+        (obs_ref, norm_ref, vis_ref, pc_ref, ac_ref, ev_ref) = refs[o:o + 6]
+        o += 6
+        hist_refs = {lidx: refs[o + k] for k, lidx in enumerate(adapt_leaves)}
+        neww_ref = refs[-1]       # scratch
+
+        b = pl.program_id(0)
+        wt = pl.program_id(1)
+        inst = b * wtiles + wt
+
+        @pl.when((b == 0) & (wt == 0))
+        def _():
+            for lidx in adapt_leaves:
+                L = Ls[lidx]
+                hist_refs[lidx][:, :] = jnp.zeros((L, L), f32)
+
+        # ---- per-instance RNG (cf. pallas_chain.py) ----
+        if not interpret:
+            tm = _mix32(inst.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+            pltpu.prng_seed(kd_ref[inst, 0] ^ tm, kd_ref[inst, 1])
+
+            def rand_u01(salt, t):
+                bits = pltpu.prng_random_bits((S, LN))
+                b24 = bits & jnp.int32(0x00FFFFFF)
+                return (b24.astype(f32) + 0.5) * f32(2.0 ** -24)
+
+            def rand_int(salt, t):
+                bits = pltpu.prng_random_bits((1, 1))
+                return bits[0, 0] & jnp.int32(0x7FFFFFFF)
+        else:
+            k1 = _mix32(kd_ref[inst, 0] ^ jnp.uint32(0x243F6A88))
+            k2 = _mix32(kd_ref[inst, 1] + jnp.uint32(0x13198A2E))
+
+            def _mix_t(salt, t):
+                tt = t.astype(jnp.uint32) if hasattr(t, "astype") \
+                    else jnp.uint32(t)
+                return _mix32(tt * jnp.uint32(2654435761)
+                              + jnp.uint32((salt * 0x85EB) & 0xFFFFFFFF))
+
+            def rand_u01(salt, t):
+                idx = (jax.lax.broadcasted_iota(jnp.uint32, (S, LN), 0)
+                       * jnp.uint32(LN)
+                       + jax.lax.broadcasted_iota(jnp.uint32, (S, LN), 1))
+                u = _mix32(_mix32(idx ^ k1) + k2 + _mix_t(salt, t))
+                b24 = jax.lax.bitcast_convert_type(
+                    u, jnp.int32) & jnp.int32(0x00FFFFFF)
+                return (b24.astype(f32) + 0.5) * f32(2.0 ** -24)
+
+            def rand_int(salt, t):
+                u = _mix32(k1 + _mix32(k2 ^ _mix_t(salt, t)))
+                return jax.lax.bitcast_convert_type(
+                    u, jnp.int32) & jnp.int32(0x7FFFFFFF)
+
+        salt = [0]
+
+        def draw_u(t):
+            salt[0] += 1
+            return rand_u01(salt[0], t)
+
+        def draw_i(t):
+            salt[0] += 1
+            return rand_int(salt[0], t)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, LN), 1)
+        widx = (jax.lax.broadcasted_iota(jnp.int32, (S, LN), 0) * LN + lane)
+
+        def flat_roll(x, k):
+            q = k // LN
+            m = k % LN
+            a = pltpu.roll(pltpu.roll(x, q, 0), m, 1)
+            bq = pltpu.roll(pltpu.roll(x, q + 1, 0), m, 1)
+            return jnp.where(lane >= m, a, bq)
+
+        def draw_leaf(lidx, t):
+            """Fresh map draw: lattice-roll (Continuous, pallas_chain.py
+            item 1) or threshold-count CDF inversion (Discrete).
+            Returns (value, gidx, prob)."""
+            li = leaves[lidx]
+            if lidx in cleaf:
+                ninc = li.leaf.ninc
+                kidx = cleaf.index(lidx)
+                r = draw_i(t) % N_LATTICE
+                a = atab_ref[kidx, r]
+                k = draw_i(t) % NF
+                base_pg = pgb[lidx][pl.ds(r * S, S), :]
+                base_pi = pib[lidx][pl.ds(r * S, S), :]
+                sh = (NF - k) % NF
+                pg = flat_roll(base_pg, sh)
+                pi = flat_roll(base_pi, sh)
+                iy = (a * ((widx + k) % NF)) % ninc
+                dy = draw_u(t)
+                x = pg + dy * pi
+                prob = 1.0 / (ninc * pi)
+                return x, iy, prob
+            # Discrete: gidx = #{k: u >= cdf[k+1]} (sampler.jl:13-22)
+            nbin = li.leaf.nbin
+            u = draw_u(t)
+            gidx = jnp.zeros((S, LN), i32)
+            for k in range(nbin - 1):
+                gidx = gidx + (u >= cdfr[lidx][k + 1]).astype(i32)
+            prob = jnp.zeros((S, LN), f32)
+            for k in range(nbin):
+                prob = jnp.where(gidx == k, distr[lidx][k], prob)
+            value = gidx + np.int32(li.leaf.lower)
+            return value, gidx, prob
+
+        def scatter_hist(lidx, bins, w):
+            """hist[bins] += w via per-column one-hot MXU outer products."""
+            L = Ls[lidx]
+            binsT = bins.T
+            wT = w.T
+            iota_l = jax.lax.broadcasted_iota(jnp.int32, (LN, L), 1)
+            acc = jnp.zeros((L, L), f32)
+            for s in range(S):
+                col = binsT[:, s:s + 1]
+                wc = wT[:, s:s + 1]
+                hi = col // L
+                lo = col - hi * L
+                ohh = (hi == iota_l).astype(f32)
+                ohl = (lo == iota_l).astype(f32)
+                acc = acc + jax.lax.dot_general(
+                    ohh * wc, ohl, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
+            return acc
+
+        def eval_leaf_vals(vals):
+            leaf_vals = []
+            for lidx, li in enumerate(leaves):
+                if li.ndraw > 0:
+                    leaf_vals.append(jnp.stack(
+                        [vals[(lidx, s)] for s in range(li.ndraw)], axis=0))
+                else:
+                    dt = i32 if lidx in xleaf else f32
+                    leaf_vals.append(jnp.zeros((0, S, LN), dt))
+            return leaf_vals
+
+        def eval_sector(jt, vals):
+            """One batched eval of integrand jt via scalar-core branches
+            (untaken pl.when bodies do not execute: O(1) eval per step)."""
+            leaf_vals = eval_leaf_vals(vals)
+            if n == 1:
+                return evals_b[0](leaf_vals)
+            for i in range(n):
+                @pl.when(jt == i)
+                def _(i=i):
+                    neww_ref[:, :] = evals_b[i](leaf_vals)
+            return neww_ref[:, :]
+
+        # ---- initialize!: fresh draw, start in integrand 0, retry x10 ----
+        # (montecarlo.jl:76, 103-113)
+        vals, gidxs, probs = {}, {}, {}
+        for lidx in dleaf:
+            for slot in range(leaves[lidx].ndraw):
+                x, iy, pr = draw_leaf(lidx, jnp.int32(0))
+                vals[(lidx, slot)] = x
+                gidxs[(lidx, slot)] = iy
+                probs[(lidx, slot)] = pr
+        w0 = evals_b[0](eval_leaf_vals(vals))
+        r0 = rw_ref[0]
+        weight = w0
+        prob_reg = jnp.abs(w0) * r0
+
+        def retry(rt, st):
+            vals, gidxs, probs, weight, prob_reg = st
+            bad = prob_reg <= 1e-38
+            nv = dict(vals)
+            ng = dict(gidxs)
+            npr = dict(probs)
+            for lidx in dleaf:
+                for slot in range(leaves[lidx].ndraw):
+                    x, iy, pr = draw_leaf(lidx, rt + 1)
+                    nv[(lidx, slot)] = jnp.where(bad, x, vals[(lidx, slot)])
+                    ng[(lidx, slot)] = jnp.where(bad, iy, gidxs[(lidx, slot)])
+                    npr[(lidx, slot)] = jnp.where(bad, pr,
+                                                  probs[(lidx, slot)])
+            w2 = evals_b[0](eval_leaf_vals(nv))
+            weight = jnp.where(bad, w2, weight)
+            prob_reg = jnp.abs(weight) * r0
+            return nv, ng, npr, weight, prob_reg
+
+        vals, gidxs, probs, weight, prob_reg = jax.lax.fori_loop(
+            0, 10, retry, (vals, gidxs, probs, weight, prob_reg))
+
+        # carry tiles must NOT be layout-replicated constants: Mosaic pins
+        # a replicated layout on constant-initialized loop carries and the
+        # natural-layout body output then fails relayout (verified with a
+        # minimal repro).  Deriving the zeros from runtime data (the eval
+        # result) is unfoldable and keeps every carry in natural layout.
+        zero = weight * 0.0
+        zeroi = zero.astype(i32)
+        carry = dict(
+            vals=vals, gidxs=gidxs, probs=probs,
+            weight=weight, prob=prob_reg,
+            curr=zeroi,                                   # integrand 0
+            rcur=zero + r0,
+            invr=zero + 1.0 / r0,
+            degc=zero + deg_ref[0],
+            picv=zero + 1.0 / (deg_ref[0] * float(C)),
+            adjb=zeroi + adjb_ref[0],
+            dof=[zeroi + dof_ref[0, g] for g in range(nvar)],
+            obs=[zero] * n, nrm=zero, vis=[zero] * nd,
+            pc=[zero] * 3, ac=[zero] * 3,
+            evcnt=jnp.float32(0.0),
+        )
+
+        # swap machinery only exists when some group has >1 slot; a
+        # deterministic macro-unrolled swap cycle was measured SLOWER
+        # (0.65 vs 0.93 G evals/s: 3x loop body -> Mosaic register
+        # pressure), so the kind is a runtime scalar in a single-step loop.
+        any_swap = any(spec.maxdof[g] > 1 for g in eligible_groups)
+
+        def step(t, carry):
+            vals = dict(carry["vals"])
+            gidxs = dict(carry["gidxs"])
+            probs = dict(carry["probs"])
+            weight = carry["weight"]
+            prob_reg = carry["prob"]
+            curr = carry["curr"]
+            rcur = carry["rcur"]
+            invr = carry["invr"]
+            degc = carry["degc"]
+            picv = carry["picv"]
+            adjb = carry["adjb"]
+            dof = list(carry["dof"])
+
+            # visited tally at step start (montecarlo.jl:137), incl burn-in
+            vis = list(carry["vis"])
+            for i in range(nd):
+                vis[i] = vis[i] + (curr == i).astype(f32)
+
+            # ---- per-step scalars: active sector + update kind ----
+            # jt ranges over INTEGRAND sectors only; jumps into the
+            # normalization sector ride every step on an independent
+            # per-walker coin (see norm_prop below), so every step runs
+            # exactly one integrand evaluation — none are wasted.
+            jt = draw_i(t) % n
+            kind_swap = ((draw_i(t) % C) == 0) if any_swap \
+                else False                        # P(swap)=1/(2nvar+1)
+            r_jt = rw_ref[jt]
+            deg_jt = deg_ref[jt]
+            adjb_jt = adjb_ref[jt]
+            dof_jt = [dof_ref[jt, g] for g in range(nvar)]
+
+            # ---- fresh draws per (leaf, slot position) ----
+            draws = {}
+            for g in eligible_groups:
+                for lidx in spec.group_leaves[g]:
+                    for s in range(spec.maxdof[g]):
+                        draws[(lidx, s)] = draw_leaf(lidx, t)
+
+            # ---- role masks (mutually exclusive per walker) ----
+            # ONE uniform drives both jump coins via disjoint intervals:
+            #   u <  q_w(i)                  -> propose jump into norm
+            #   u in [q_w, q_w + pi_ci)      -> propose jump to jt (if adj)
+            #   u >= q_w                     -> CV/swap eligible (at jt)
+            # with q_w(i) = pi_ci(i)/n and pi_ci(i) = 1/(deg_i*C).  The
+            # marginal densities are then EXACTLY (1/n)*pi_ci both ways,
+            # so the MH correction is the bare degree ratio deg_i/deg_j
+            # (updates.jl:48) — no thinning correction factor.  The
+            # (1-q_w) thinning of in-sector CV/swap cancels forward vs
+            # reverse (same sector).  picv is a per-walker register
+            # (picv = 1/(deg_curr*C)), updated only on accepted jumps.
+            adjn = ((adjb >> norm) & 1) == 1          # adjacent to norm
+            qw = jnp.where(adjn, picv * float(1.0 / n), 0.0)
+            u_role = draw_u(t)
+            norm_prop = adjn & (u_role < qw)
+
+            at_jt = (curr == jt) & (u_role >= qw)
+            is_adj = ((adjb >> jt) & 1) == 1
+            ci_prop = is_adj & (u_role >= qw) & (u_role < qw + picv)
+
+            # CV/swap var-type and slot choices (updates.jl:72-147)
+            if nvar == 1:
+                vi = None
+                dof_vi = dof[0]
+            else:
+                u_vi = draw_u(t)
+                vi = jnp.minimum((u_vi * nvar).astype(i32), nvar - 1)
+                dof_vi = zeroi
+                for g in range(nvar):
+                    dof_vi = jnp.where(vi == g, dof[g], dof_vi)
+            dvf = dof_vi.astype(f32)
+            u_s1 = draw_u(t)
+            idx1 = (u_s1 * dvf).astype(i32)
+            can_move = at_jt & (dof_vi > 0)
+            if any_swap:
+                u_s2 = draw_u(t)
+                idx2 = (u_s2 * dvf).astype(i32)
+                active_cv = can_move & (~kind_swap)
+                active_sw = can_move & kind_swap & (idx1 != idx2)
+            else:
+                idx2 = None
+                active_cv = can_move
+                active_sw = None
+
+            # ---- build proposed state + Hastings factors ----
+            nvals = dict(vals)
+            ngidxs = dict(gidxs)
+            nprobs = dict(probs)
+            commit = {}
+            prop_cv = jnp.ones((S, LN), f32)
+            prop_ci = jnp.ones((S, LN), f32)
+            prop_nj = jnp.ones((S, LN), f32)
+            for g in eligible_groups:
+                md = spec.maxdof[g]
+                dof_jt_g = dof_jt[g]
+                sel_g = True if vi is None else (vi == g)
+                for lidx in spec.group_leaves[g]:
+                    # per-walker gathered swap values (masked O(md) select)
+                    if any_swap and md > 1:
+                        sw1v = sw2v = None
+                        sw1g = sw2g = sw1p = sw2p = None
+                        for s in range(md):
+                            h1 = (idx1 == s)
+                            h2 = (idx2 == s)
+                            v, gi_, pr_ = (vals[(lidx, s)],
+                                           gidxs[(lidx, s)],
+                                           probs[(lidx, s)])
+                            sw1v = v if sw1v is None else jnp.where(h1, v, sw1v)
+                            sw2v = v if sw2v is None else jnp.where(h2, v, sw2v)
+                            sw1g = gi_ if sw1g is None else jnp.where(h1, gi_, sw1g)
+                            sw2g = gi_ if sw2g is None else jnp.where(h2, gi_, sw2g)
+                            sw1p = pr_ if sw1p is None else jnp.where(h1, pr_, sw1p)
+                            sw2p = pr_ if sw2p is None else jnp.where(h2, pr_, sw2p)
+                    for s in range(md):
+                        key = (lidx, s)
+                        x, iy, pr = draws[key]
+                        created = ci_prop & (s >= dof[g]) & (s < dof_jt_g)
+                        removed = ci_prop & (s >= dof_jt_g) & (s < dof[g])
+                        nv, ngi, npr_ = vals[key], gidxs[key], probs[key]
+                        # changeVariable: fresh redraw, prop q_old/q_new
+                        hit_cv = active_cv & sel_g & (idx1 == s)
+                        nv = jnp.where(hit_cv, x, nv)
+                        ngi = jnp.where(hit_cv, iy, ngi)
+                        npr_ = jnp.where(hit_cv, pr, npr_)
+                        prop_cv = jnp.where(
+                            hit_cv, prop_cv * (probs[key] / pr), prop_cv)
+                        if any_swap and md > 1:
+                            # swapVariable: exchange slots idx1 <-> idx2
+                            hit_s1 = active_sw & sel_g & (idx1 == s)
+                            hit_s2 = active_sw & sel_g & (idx2 == s)
+                            nv = jnp.where(hit_s1, sw2v,
+                                           jnp.where(hit_s2, sw1v, nv))
+                            ngi = jnp.where(hit_s1, sw2g,
+                                            jnp.where(hit_s2, sw1g, ngi))
+                            npr_ = jnp.where(hit_s1, sw2p,
+                                             jnp.where(hit_s2, sw1p, npr_))
+                            hit_sw = hit_s1 | hit_s2
+                        else:
+                            hit_sw = None
+                        # changeIntegrand create/remove (updates.jl:15-26)
+                        nv = jnp.where(created, x, nv)
+                        ngi = jnp.where(created, iy, ngi)
+                        npr_ = jnp.where(created, pr, npr_)
+                        prop_ci = jnp.where(created, prop_ci / pr, prop_ci)
+                        prop_ci = jnp.where(removed, prop_ci * probs[key],
+                                            prop_ci)
+                        # jump INTO norm removes every slot of curr's dof
+                        removed_nj = norm_prop & (s < dof[g])
+                        prop_nj = jnp.where(removed_nj,
+                                            prop_nj * probs[key], prop_nj)
+                        nvals[key] = nv
+                        ngidxs[key] = ngi
+                        nprobs[key] = npr_
+                        # slots created by CI commit even on reject
+                        # (sampler.jl:306: createRollback! is a no-op)
+                        commit[key] = (hit_cv, hit_sw, created)
+
+            # ---- ONE batched eval of integrand jt, every step ----
+            new_w = eval_sector(jt, nvals)
+
+            # ---- acceptance ----
+            p_old = jnp.maximum(prob_reg, 1e-38)
+            p_new_mv = jnp.abs(new_w) * rcur            # CV/swap: curr==jt
+            p_new_ci = jnp.abs(new_w) * r_jt
+            r_norm = rw_ref[norm]
+            # Hastings pi_ci(new)/pi_ci(old) = deg_old/deg_new — exactly
+            # the reference's neighbor-count ratio (updates.jl:48); the
+            # interval-coin scheme above makes both directions' densities
+            # exactly (1/n)/(deg*C), no further correction.
+            ratio_ci = prop_ci * (degc * f32(1.0) / deg_jt) * p_new_ci / p_old
+            # jump into norm: reverse move is norm's (untinned) jt-step CI
+            ratio_nj = prop_nj * (degc / deg_ref[norm]) * r_norm / p_old
+            u_acc = draw_u(t)
+            ratio_cv = prop_cv * p_new_mv / p_old
+            acc_cv = active_cv & (u_acc < ratio_cv) & (prop_cv > 1e-38)
+            acc_mv = acc_cv
+            if any_swap:
+                acc_sw = active_sw & (u_acc < p_new_mv / p_old)
+                acc_mv = acc_cv | acc_sw
+            else:
+                acc_sw = None
+            acc_ci = ci_prop & (u_acc < ratio_ci) & (prop_ci > 1e-38)
+            acc_nj = norm_prop & (u_acc < ratio_nj)
+
+            # ---- commit ----
+            for key in vals:
+                hit_cv, hit_sw, created = commit.get(
+                    key, (None, None, None))
+                take = created
+                if hit_cv is not None:
+                    take = (acc_cv & hit_cv) | take
+                if hit_sw is not None:
+                    take = (acc_sw & hit_sw) | take
+                if take is None:
+                    continue
+                vals[key] = jnp.where(take, nvals[key], vals[key])
+                gidxs[key] = jnp.where(take, ngidxs[key], gidxs[key])
+                probs[key] = jnp.where(take, nprobs[key], probs[key])
+            weight = jnp.where(acc_mv | acc_ci, new_w,
+                               jnp.where(acc_nj, 0.0, weight))
+            prob_reg = jnp.where(acc_mv, p_new_mv,
+                                 jnp.where(acc_ci, p_new_ci,
+                                           jnp.where(acc_nj, r_norm,
+                                                     prob_reg)))
+            curr = jnp.where(acc_ci, jt, jnp.where(acc_nj, norm, curr))
+            rcur = jnp.where(acc_ci, r_jt, jnp.where(acc_nj, r_norm, rcur))
+            invr = jnp.where(acc_ci, 1.0 / r_jt,
+                             jnp.where(acc_nj, 1.0 / r_norm, invr))
+            degc = jnp.where(acc_ci, deg_jt,
+                             jnp.where(acc_nj, deg_ref[norm], degc))
+            picv = jnp.where(acc_ci, 1.0 / (deg_jt * float(C)),
+                             jnp.where(acc_nj,
+                                       1.0 / (deg_ref[norm] * float(C)),
+                                       picv))
+            adjb = jnp.where(acc_ci, adjb_jt,
+                             jnp.where(acc_nj, adjb_ref[norm], adjb))
+            for g in range(nvar):
+                dof[g] = jnp.where(acc_ci, dof_jt[g],
+                                   jnp.where(acc_nj, 0, dof[g]))
+
+            # ---- aggregate tallies per update kind ----
+            pc = list(carry["pc"])
+            ac = list(carry["ac"])
+            pc[0] = pc[0] + ci_prop.astype(f32) + norm_prop.astype(f32)
+            ac[0] = ac[0] + acc_ci.astype(f32) + acc_nj.astype(f32)
+            pc[1] = pc[1] + active_cv.astype(f32)
+            ac[1] = ac[1] + acc_cv.astype(f32)
+            if any_swap:
+                pc[2] = pc[2] + active_sw.astype(f32)
+                ac[2] = ac[2] + acc_sw.astype(f32)
+
+            # ---- measurement (montecarlo.jl:145-170) ----
+            measured = (t >= nburnin) & (((t - nburnin) % mf) == 0)
+            mw = jnp.where(measured, 1.0, 0.0).astype(f32)
+            in_norm = (curr == norm)
+            # weight/probability = sign(weight)/reweight[curr]
+            # (montecarlo.jl:160-170); norm walkers have weight 0 -> sign 0
+            contrib = jnp.sign(weight) * invr * mw
+            obs = list(carry["obs"])
+            for i in range(n):
+                obs[i] = obs[i] + jnp.where(curr == i, contrib, 0.0)
+            nrm = carry["nrm"] + jnp.where(in_norm, 1.0 / rw_ref[norm],
+                                           0.0) * mw
+
+            # ---- histogram: 1.0 per used slot, subsampled x hk ----
+            @pl.when(measured & ((((t - nburnin) // mf) % hk) == 0))
+            def _():
+                for lidx in adapt_leaves:
+                    li = leaves[lidx]
+                    g = li.group
+                    for s in range(li.ndraw):
+                        wgt = ((s < dof[g]) & (~in_norm)).astype(f32) \
+                            * float(hk)
+                        h2 = scatter_hist(lidx, gidxs[(lidx, s)], wgt)
+                        hist_refs[lidx][:, :] += h2
+
+            evcnt = carry["evcnt"] + 1.0   # every step evaluates once
+            return dict(vals=vals, gidxs=gidxs, probs=probs,
+                        weight=weight, prob=prob_reg, curr=curr,
+                        rcur=rcur, invr=invr, degc=degc, picv=picv,
+                        adjb=adjb, dof=dof,
+                        obs=obs, nrm=nrm, vis=vis, pc=pc, ac=ac,
+                        evcnt=evcnt)
+
+        carry = jax.lax.fori_loop(0, ntot, step, carry)
+
+        def red(x):
+            return jnp.sum(jnp.sum(x, axis=1, keepdims=True))
+
+        first = (b == 0) & (wt == 0)
+
+        @pl.when(wt == 0)
+        def _():
+            for i in range(n):
+                obs_ref[b, i] = 0.0
+            norm_ref[b, 0] = 0.0
+
+        @pl.when(first)
+        def _():
+            for i in range(nd):
+                vis_ref[0, i] = 0.0
+            for k in range(3):
+                pc_ref[0, k] = 0.0
+                ac_ref[0, k] = 0.0
+            ev_ref[0, 0] = 0.0
+
+        for i in range(n):
+            obs_ref[b, i] += red(carry["obs"][i])
+        norm_ref[b, 0] += red(carry["nrm"])
+        for i in range(nd):
+            vis_ref[0, i] += red(carry["vis"][i])
+        for k in range(3):
+            pc_ref[0, k] += red(carry["pc"][k])
+            ac_ref[0, k] += red(carry["ac"][k])
+        # eval-step count only (x NF on the host: f32 stays exact —
+        # per-instance step counts are < 2^24)
+        ev_ref[0, 0] += carry["evcnt"]
+
+    # host-chosen odd multipliers (coprime to power-of-two ninc)
+    host_rng = np.random.default_rng(spec.cfg.seed + 4321)
+    a_np = np.zeros((max(len(cleaf), 1), N_LATTICE), np.int32)
+    for kk, lidx in enumerate(cleaf):
+        ninc = leaves[lidx].leaf.ninc
+        a_np[kk] = host_rng.integers(0, max(ninc // 2, 1),
+                                     N_LATTICE) * 2 + 1
+
+    def run_all(params, kd):
+        B = block
+        ins = [jnp.asarray(a_np)]
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # kd [B*wtiles, 2]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # reweight [nd]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # deg [nd]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # adjbits [nd]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # dof [nd, nvar]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # atab
+        ]
+        for kk, lidx in enumerate(cleaf):
+            L = level_size(leaves[lidx].leaf.ninc)
+            ninc = leaves[lidx].leaf.ninc
+            flat = params["leaf"][lidx]["tab"].reshape(L * L, 2)
+            i_all = jnp.arange(NF)
+            rows_g, rows_i = [], []
+            for r in range(N_LATTICE):
+                idx = (int(a_np[kk, r]) * i_all) % ninc
+                rows_g.append(flat[idx, 0].reshape(S, LN))
+                rows_i.append(flat[idx, 1].reshape(S, LN))
+            ins += [jnp.concatenate(rows_g, axis=0),
+                    jnp.concatenate(rows_i, axis=0)]
+            in_specs += [pl.BlockSpec((N_LATTICE * S, LN),
+                                      lambda bb, tt: (0, 0),
+                                      memory_space=pltpu.VMEM)] * 2
+        for lidx in xleaf:
+            cdf = params["leaf"][lidx]["cdf"].astype(jnp.float32)
+            dist = cdf[1:] - cdf[:-1]
+            ins += [cdf, dist]
+            in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+
+        rw = params["reweight"].astype(jnp.float32)
+        out_shape = ([jax.ShapeDtypeStruct((B, n), f32),
+                      jax.ShapeDtypeStruct((B, 1), f32),
+                      jax.ShapeDtypeStruct((1, nd), f32),
+                      jax.ShapeDtypeStruct((1, 3), f32),
+                      jax.ShapeDtypeStruct((1, 3), f32),
+                      jax.ShapeDtypeStruct((1, 1), f32)]
+                     + [jax.ShapeDtypeStruct((Ls[l], Ls[l]), f32)
+                        for l in adapt_leaves])
+        out_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 6
+                     + [pl.BlockSpec((Ls[l], Ls[l]), lambda bb, tt: (0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for l in adapt_leaves])
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B, wtiles),
+            in_specs=in_specs,
+            out_shape=out_shape,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((S, LN), f32)],
+            interpret=pltpu.InterpretParams() if interpret else False,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(kd, rw, jnp.asarray(deg_np), jnp.asarray(adjb_np),
+          jnp.asarray(dof_np), *ins)
+
+        obs_b = outs[0]
+        norm_b = outs[1][:, 0]
+        visited = outs[2][0]
+        pc = outs[3][0]
+        ac = outs[4][0]
+        evals = outs[5][0, 0] * float(NF)
+        hist_out = {l: h for l, h in zip(adapt_leaves, outs[6:])}
+        hists = []
+        for lidx, li in enumerate(leaves):
+            if lidx in hist_out:
+                hists.append(hist_out[lidx].reshape(-1))
+            else:
+                hists.append(jnp.zeros(padded_hist_size(li.nhist), f32))
+        return obs_b, norm_b, visited, hists, pc, ac, evals
+
+    return run_all

@@ -88,20 +88,14 @@ def _make_rng(kd_ref, b, t, interpret: bool):
     return rand_bits
 
 
-def make_eval_batched(spec, integrand, inplace, weight_dtype):
-    """Batched integrand eval on [ndraw, NP, m] leaf values.
+def build_view(spec):
+    """User-facing variable view over batched [ndraw, ...tile] leaf values.
 
-    The XLA path vmaps the integrand per sample; inside a Mosaic kernel that
-    vmap inserts relayout copies per op (measured: 67MB VMEM stack, ~3x
-    slower).  Reference-style integrands are elementwise in the sample axes,
-    so calling them once on batched arrays is equivalent — and
-    solvers/vegas.py verifies that equivalence numerically at build time,
-    falling back to the XLA path on any mismatch.
+    Mirrors Spec.view (solvers/engine.py) but for batched arrays inside a
+    Mosaic kernel: offset (user-pinned) slots are prepended as broadcast
+    constants; CompositeVar groups become tuples of member views.
     """
-    from ..solvers.engine import WeightBuffer, _finite_guard
-
-    uc = spec.uconfig
-    n = spec.N
+    from ..models.variable import CompositeVar
 
     def _view(leaf_vals):
         views = []
@@ -119,11 +113,29 @@ def make_eval_batched(spec, integrand, inplace, weight_dtype):
                 else:
                     full = drawn
                 member_views.append(full)
-            from ..models.variable import CompositeVar
             views.append(tuple(member_views)
                          if isinstance(spec.cfg.var[gi], CompositeVar)
                          else member_views[0])
         return views[0] if len(views) == 1 else tuple(views)
+
+    return _view
+
+
+def make_eval_batched(spec, integrand, inplace, weight_dtype):
+    """Batched integrand eval on [ndraw, NP, m] leaf values.
+
+    The XLA path vmaps the integrand per sample; inside a Mosaic kernel that
+    vmap inserts relayout copies per op (measured: 67MB VMEM stack, ~3x
+    slower).  Reference-style integrands are elementwise in the sample axes,
+    so calling them once on batched arrays is equivalent — and
+    solvers/vegas.py verifies that equivalence numerically at build time,
+    falling back to the XLA path on any mismatch.
+    """
+    from ..solvers.engine import WeightBuffer, _finite_guard
+
+    uc = spec.uconfig
+    n = spec.N
+    _view = build_view(spec)
 
     def _eval(leaf_vals):
         v = _view(leaf_vals)

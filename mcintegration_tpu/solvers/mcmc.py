@@ -51,7 +51,8 @@ class MCMCIteration:
     def __init__(self, spec: Spec, integrand: Callable, *, measure=None,
                  measurefreq=1, block=16, nevalperblock=10000,
                  mesh=None, weight_dtype=jnp.float32, obs_proto=None,
-                 thermal_ratio=0.1, nwalkers=None, min_steps_per_walker=256):
+                 thermal_ratio=0.1, nwalkers=None, min_steps_per_walker=256,
+                 backend="auto"):
         self.spec = spec
         self.block = block
         self.mesh = mesh
@@ -69,6 +70,92 @@ class MCMCIteration:
         nburnin = int(np.floor(nsteps * thermal_ratio))
         self.nburnin = nburnin
         self.neval = Wg * (nsteps + nburnin)
+
+        # ---- fused Pallas mcmc kernel (ops/pallas_mcmc.py) ----
+        self.backend = "xla"
+        if backend in ("auto", "pallas"):
+            from ..ops import pallas_mcmc
+            devs = (np.asarray(mesh.devices).ravel() if mesh is not None
+                    else jax.devices())
+            interp = devs[0].platform == "cpu"
+            if ((backend == "pallas" or not interp)
+                    and pallas_mcmc.mcmc_eligible(
+                        spec, measure=measure, weight_dtype=weight_dtype)):
+                evals_b = pallas_mcmc.make_eval_batched_idx(
+                    spec, integrand, weight_dtype)
+                S = 0
+                for cand in (16, 8):
+                    if block * cand * 128 > W:
+                        continue
+                    from ..models.variable import Continuous
+                    if all((cand * 128) % li.leaf.ninc == 0
+                           for li in spec.leaves
+                           if li.ndraw > 0
+                           and isinstance(li.leaf, Continuous)):
+                        S = cand
+                        break
+                # a walker updates on ~(2nvar+2)/(n*(2nvar+1)) of steps in
+                # the scheduled kernel (module docstring), so chains need
+                # proportionally more steps than the XLA path for the same
+                # equilibration; short-chain workloads route to XLA.
+                C = 2 * spec.nvar + 1
+                steps_min = max(
+                    int(min_steps_per_walker) * spec.N * C // (C + 1), 64)
+                if S > 0:
+                    w_tile = block * S * 128 * ndev
+                    wt_budget = int(neval) // (w_tile * steps_min)
+                    wtiles = max(0, min(W // (block * S * 128), wt_budget))
+                    if nwalkers is not None:
+                        # explicit nwalkers overrides the steps heuristic
+                        wtiles = max(1, W // (block * S * 128))
+                else:
+                    wtiles = 0
+                if wtiles > 0 and pallas_mcmc.validate_batched_idx(
+                        spec, evals_b, integrand, weight_dtype):
+                    Wg = block * wtiles * S * 128 * ndev
+                    self.nwalkers = Wg
+                    # every kernel step runs exactly one batched eval
+                    self.nsteps = max(int(neval) // Wg, 8)
+                    nburnin = int(np.floor(self.nsteps * thermal_ratio))
+                    self.nburnin = nburnin
+                    self.neval = Wg * (self.nsteps + nburnin)  # refined in run()
+                    run_all_pallas = pallas_mcmc.build_mcmc_run_all(
+                        spec, evals_b, block=block, wtiles=wtiles, S=S,
+                        nsteps=self.nsteps, nburnin=nburnin,
+                        mf=measurefreq, interpret=interp)
+                    self.backend = "pallas"
+                    rows_local = block * wtiles
+
+                    if ndev > 1:
+                        axis = mesh.axis_names[0]
+
+                        def sharded(params, kd):
+                            def local(params, kd):
+                                (o, nb, vis, hists, pc, ac,
+                                 ev) = run_all_pallas(params, kd)
+                                vis = jax.lax.psum(vis, axis)
+                                hists = [jax.lax.psum(h, axis)
+                                         for h in hists]
+                                pc = jax.lax.psum(pc, axis)
+                                ac = jax.lax.psum(ac, axis)
+                                ev = jax.lax.psum(ev, axis)
+                                return o, nb, vis, hists, pc, ac, ev
+
+                            return jax.shard_map(
+                                local, mesh=mesh,
+                                in_specs=(P(), P(axis)),
+                                out_specs=(P(axis), P(axis), P(), P(),
+                                           P(), P(), P()),
+                                check_vma=False,
+                            )(params, kd)
+
+                        self.raw_fn = sharded
+                    else:
+                        self.raw_fn = run_all_pallas
+                    self._fn = jax.jit(self.raw_fn)
+                    self._ndev = ndev
+                    self._pallas_rows = rows_local * ndev
+                    return
         n = spec.N
         nd = n + 1
         nvar = spec.nvar
@@ -428,16 +515,44 @@ class MCMCIteration:
             self._ndev = 1
 
     def run(self, params, key):
+        spec = self.spec
+        nd = spec.N + 1
+        nvar = spec.nvar
+        nmax = max(nd, nvar)
+        if self.backend == "pallas":
+            kd = np.asarray(jax.random.key_data(
+                jax.random.split(key, self._pallas_rows)))
+            keys = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
+            obs_b, norm_b, visited, hists, pc, ac, evals = self._fn(
+                params, keys)
+            obs_b = decode_complex_numpy(
+                jax.tree_util.tree_map(gather_rows, obs_b))
+            norm_b = gather_rows(norm_b).astype(np.float64)
+            # reduced tallies: per-update-kind aggregates only (the fused
+            # kernel does not attribute per (sector, target) pairs)
+            propose = np.zeros((3, nd, nmax))
+            accept = np.zeros((3, nd, nmax))
+            pc = np.asarray(pc, dtype=np.float64)
+            ac = np.asarray(ac, dtype=np.float64)
+            for k in range(3):
+                propose[k, 0, 0] = pc[k]
+                accept[k, 0, 0] = ac[k]
+            return {
+                "obs_blocks": obs_b,
+                "norm_blocks": norm_b,
+                "visited": np.asarray(visited, dtype=np.float64),
+                "hists": [np.asarray(h, dtype=np.float64)[: li.nhist]
+                          for h, li in zip(hists, self.spec.leaves)],
+                "propose": propose,
+                "accept": accept,
+                "neval": int(float(evals)),
+            }
         kd = np.asarray(jax.random.key_data(
             jax.random.split(key, self._ndev)))
         keys = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
         obs_b, norm_b, visited, hists, prop_acc, acc_acc = self._fn(params, keys)
         obs_b = decode_complex_numpy(jax.tree_util.tree_map(gather_rows, obs_b))
         norm_b = gather_rows(norm_b).astype(np.float64)
-        spec = self.spec
-        nd = spec.N + 1
-        nvar = spec.nvar
-        nmax = max(nd, nvar)
         propose = np.asarray(prop_acc, dtype=np.float64)
         accept = np.asarray(acc_acc, dtype=np.float64)
         return {

@@ -211,3 +211,135 @@ def test_pallas_sharded_over_mesh():
     m = st["obs_blocks"][:, 0] / st["norm_blocks"]
     err = m.std(ddof=1) / np.sqrt(len(m))
     assert abs(m.mean() - np.pi / 4) < 10 * max(err, 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# :mcmc fused kernel (ops/pallas_mcmc.py)
+# ---------------------------------------------------------------------------
+
+def _mk_mcmc(integrand, *, dof, seed, neval, backend="pallas", ninc=128,
+             var=None, nwalkers=2048, thermal=0.3, **kw):
+    from mcintegration_tpu.solvers.mcmc import MCMCIteration
+
+    cfg = Configuration(var=var if var is not None
+                        else Continuous(0.0, 1.0, ninc=ninc),
+                        dof=dof, seed=seed)
+    spec = Spec(cfg)
+    it = MCMCIteration(spec, integrand, block=2, nevalperblock=neval // 2,
+                       backend=backend, nwalkers=nwalkers,
+                       thermal_ratio=thermal, **kw)
+    return spec, it
+
+
+def _f2(i, x, c):
+    r2 = x[0] ** 2 + x[1] ** 2
+    return jnp.where(i == 0, jnp.where(r2 < 1.0, 1.0, 0.0),
+                     jnp.where(r2 + x[2] ** 2 < 1.0, 1.0, 0.0))
+
+
+def test_mcmc_pallas_multi_integrand_statistical():
+    """Two integrands with different dof: exercises changeIntegrand
+    create/remove, the norm-coin, CV and swap in the fused kernel."""
+    spec, it = _mk_mcmc(_f2, dof=[[2], [3]], seed=11, neval=1_500_000)
+    assert it.backend == "pallas"
+    st = it.run(spec.device_params(), jax.random.key(2))
+    nb = st["norm_blocks"]
+    for i, exact in ((0, np.pi / 4), (1, np.pi / 6)):
+        m = st["obs_blocks"][:, i] / nb
+        err = m.std(ddof=1) / np.sqrt(len(m))
+        assert abs(m.mean() - exact) < 10 * max(err, 5e-3), (i, m.mean(), err)
+    assert st["visited"].sum() > 0
+    assert st["hists"][0].sum() > 0
+
+
+def test_mcmc_pallas_matches_xla_statistically():
+    res = {}
+    for be in ("xla", "pallas"):
+        spec, it = _mk_mcmc(
+            lambda i, x, c: jnp.where(x[0] ** 2 + x[1] ** 2 < 1, 1.0, 0.0),
+            dof=[[2]], seed=5, neval=1_000_000, backend=be)
+        assert it.backend == be
+        st = it.run(spec.device_params(), jax.random.key(3))
+        m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+        res[be] = (m.mean(), m.std(ddof=1) / np.sqrt(len(m)))
+    for be in res:
+        assert abs(res[be][0] - np.pi / 4) < 10 * max(res[be][1], 5e-3), res
+
+
+def test_mcmc_pallas_discrete_pool():
+    """Discrete pools run in-kernel via threshold-count CDF inversion."""
+    from mcintegration_tpu.models.variable import Discrete as D
+
+    def f(i, x, c):
+        t, d = x
+        return t[0] * d[0]          # E over uniform d in {1..4}: 2.5 * 0.5
+
+    spec, it = _mk_mcmc(f, dof=[[1, 1]], seed=7, neval=1_000_000,
+                        var=(Continuous(0.0, 1.0, ninc=128), D(1, 4)))
+    assert it.backend == "pallas"
+    st = it.run(spec.device_params(), jax.random.key(5))
+    m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+    err = m.std(ddof=1) / np.sqrt(len(m))
+    # E[t*d] integrated over t in [0,1], summed over d: 0.5*(1+2+3+4) = 5
+    assert abs(m.mean() - 5.0) < 10 * max(err, 0.1), (m.mean(), err)
+
+
+def test_mcmc_pallas_deterministic_same_seed():
+    spec, it = _mk_mcmc(
+        lambda i, x, c: jnp.where(x[0] ** 2 + x[1] ** 2 < 1, 1.0, 0.0),
+        dof=[[2]], seed=1, neval=300_000)
+    p = spec.device_params()
+    a = it.run(p, jax.random.key(9))
+    b = it.run(p, jax.random.key(9))
+    assert np.array_equal(a["obs_blocks"], b["obs_blocks"])
+
+
+def test_mcmc_pallas_fallbacks():
+    from mcintegration_tpu.models.variable import FermiK
+    from mcintegration_tpu.solvers.mcmc import MCMCIteration
+
+    # FermiK -> xla
+    cfg = Configuration(var=(Continuous(0.0, 1.0), FermiK(3, 1.0, 0.2, 10.0)),
+                        dof=[[1, 1]], seed=1)
+    it = MCMCIteration(Spec(cfg), lambda i, x, c: 1.0, block=2,
+                       nevalperblock=2 ** 19, backend="pallas", nwalkers=2048)
+    assert it.backend == "xla"
+
+    # custom measure -> xla
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1,
+                        obs=[np.zeros(3)])
+    it = MCMCIteration(Spec(cfg),
+                       lambda i, x, c: 1.0, measure=lambda i, x, w, c: [w],
+                       obs_proto=[np.zeros(3)], block=2,
+                       nevalperblock=2 ** 19, backend="pallas", nwalkers=2048)
+    assert it.backend == "xla"
+
+    # short chains (auto walker budget, tiny neval) -> xla
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1)
+    it = MCMCIteration(Spec(cfg),
+                       lambda i, x, c: 1.0, block=2, nevalperblock=2 ** 12,
+                       backend="auto")
+    assert it.backend == "xla"
+
+
+def test_mcmc_pallas_sharded_over_mesh():
+    from mcintegration_tpu.parallel.mesh import make_mesh
+    from mcintegration_tpu.solvers.mcmc import MCMCIteration
+
+    ndev = len(jax.devices())
+    if ndev < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = make_mesh(ndev)
+    cfg = Configuration(var=Continuous(0.0, 1.0, ninc=128), dof=[[2]], seed=3)
+    spec = Spec(cfg)
+    it = MCMCIteration(spec,
+                       lambda i, x, c: jnp.where(
+                           x[0] ** 2 + x[1] ** 2 < 1, 1.0, 0.0),
+                       block=ndev, nevalperblock=400_000, mesh=mesh,
+                       backend="pallas", nwalkers=ndev * 1024,
+                       thermal_ratio=0.3)
+    assert it.backend == "pallas"
+    st = it.run(spec.device_params(), jax.random.key(4))
+    m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+    err = m.std(ddof=1) / np.sqrt(len(m))
+    assert abs(m.mean() - np.pi / 4) < 10 * max(err, 5e-3)
