@@ -52,26 +52,36 @@ def green(tau, omega, beta):
 
 
 def integrand(v, c):
+    """Shape-agnostic (elementwise over any trailing sample axes): works
+    per-sample under vmap (XLA path) AND batched inside the fused Pallas
+    chain kernel; the external-q lookup is a one-hot sum, not a gather."""
     R, TH, PH, T, EXT = v
-    extq = jnp.asarray(EXTQ, jnp.float32)
     r = R[0] / (1 - R[0])
     th, ph = TH[0], PH[0]
-    k = jnp.stack([r * jnp.sin(th) * jnp.cos(ph),
-                   r * jnp.sin(th) * jnp.sin(ph),
-                   r * jnp.cos(th)])
+    k = [r * jnp.sin(th) * jnp.cos(ph),
+         r * jnp.sin(th) * jnp.sin(ph),
+         r * jnp.cos(th)]
     factor = r**2 / (1 - R[0]) ** 2 * jnp.sin(th) / (2 * np.pi) ** DIM
     tau = T[0]
-    q = extq[EXT[0] - 1]
-    kq = k + q
-    g1 = green(tau, (jnp.dot(k, k) - KF**2) / (2 * ME), BETA_PHYS)
-    g2 = green(-tau, (jnp.dot(kq, kq) - KF**2) / (2 * ME), BETA_PHYS)
+    e = EXT[0]
+    oh = [(e == j + 1).astype(jnp.float32) for j in range(QSIZE)]
+    q = [sum(oh[j] * float(EXTQ[j, d]) for j in range(QSIZE))
+         for d in range(DIM)]
+    k2 = sum(kc * kc for kc in k)
+    kq2 = sum((kc + qc) ** 2 for kc, qc in zip(k, q))
+    g1 = green(tau, (k2 - KF**2) / (2 * ME), BETA_PHYS)
+    g2 = green(-tau, (kq2 - KF**2) / (2 * ME), BETA_PHYS)
     return g1 * g2 * SPIN * factor
 
 
 def measure(v, relw, c):
-    ext = v[-1]
-    onehot = (jnp.arange(1, QSIZE + 1) == ext[0]).astype(relw[0].dtype)
-    return [onehot * relw[0]]
+    """Shape-agnostic vector measure: the observable axis is built by a
+    static python loop of one-hot selects, valid per-sample (XLA vmap) AND
+    batched over sample tiles (Pallas chain kernel)."""
+    ext = v[-1][0]
+    rows = [(ext == j + 1).astype(relw[0].dtype) * relw[0]
+            for j in range(QSIZE)]
+    return [jnp.stack(rows)]
 
 
 def main():

@@ -108,6 +108,14 @@ def integrate(integrand: Callable, *,
     timers = list(timer) if timer is not None else []
     if verbose > 0:
         timers.append(StopWatch(verbose, lambda cfg, *_: cfg.report()))
+    # Mid-iteration observability (reference polls StopWatch every 1000
+    # steps inside the hot loop, src/vegas_mc/montecarlo.jl:233-237): with
+    # timers active, split each iteration into sub-dispatches so the
+    # watch can fire with live acceptance tables between them.  Silent
+    # runs keep the single-dispatch fast path.  Markov solvers run K
+    # shorter chains per block lane (statistically valid; slightly more
+    # warmup overhead — a diagnostic-mode tradeoff).
+    nsplit = 4 if timers else 1
 
     # the reference's parallel=:thread/:nothread toggles intra-process
     # threading; the analog here is the device mesh ('none' disables it)
@@ -119,6 +127,8 @@ def integrate(integrand: Callable, *,
         nworker = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
     nevalperblock, block = _standardize_block(neval, block, nworker)
+    if nsplit > 1:
+        nevalperblock = max(nevalperblock // nsplit, 1)
 
     weight_dtype = jnp.complex64 if config.type is complex else dtype
     spec = Spec(config, dtype=dtype)
@@ -176,21 +186,31 @@ def integrate(integrand: Callable, *,
     for it in range(niter):
         params = spec.device_params()
         key = jax.random.fold_in(base_key, it)
-        stats = it_kernel.run(params, key)
-        if debug:
-            from .debug import check_iteration_stats
-            check_iteration_stats(stats, it)
+        stats = None
+        for sub in range(nsplit):
+            sub_key = (key if nsplit == 1
+                       else jax.random.fold_in(key, sub + 1))
+            stats_k = it_kernel.run(params, sub_key)
+            if debug:
+                from .debug import check_iteration_stats
+                check_iteration_stats(stats_k, it)
 
-        # ---- merge device statistics into the host config (the reference's
-        # addConfig!/MPIreduceConfig! step, configuration.jl:238-299) ----
-        config.neval += stats["neval"]
-        for lidx, (_, leaf) in enumerate(config.var_leaves()):
-            leaf.add_statistics(stats["hists"][lidx])
-        if "visited" in stats:
-            config.visited += stats["visited"]
-        if "propose" in stats:
-            config.propose += stats["propose"]
-            config.accept += stats["accept"]
+            # ---- merge device statistics into the host config (the
+            # reference's addConfig!/MPIreduceConfig! step,
+            # configuration.jl:238-299) — incrementally per sub-dispatch
+            # so the StopWatch sees live tallies ----
+            config.neval += stats_k["neval"]
+            for lidx, (_, leaf) in enumerate(config.var_leaves()):
+                leaf.add_statistics(stats_k["hists"][lidx])
+            if "visited" in stats_k:
+                config.visited += stats_k["visited"]
+            if "propose" in stats_k:
+                config.propose += stats_k["propose"]
+                config.accept += stats_k["accept"]
+            stats = _merge_stats(stats, stats_k)
+            if sub + 1 < nsplit:
+                for t in timers:
+                    t.check(config)
 
         norm_b = stats["norm_blocks"]
         if not np.all(norm_b > 0):
@@ -217,7 +237,7 @@ def integrate(integrand: Callable, *,
             for v in config.var:
                 v.train()
 
-        results.append((means, stds, _ConfigSnapshot(config, stats["neval"])))
+        results.append((means, stds, _snapshot_config(config, stats["neval"])))
         progress.update(block, evals=stats["neval"])
         for t in timers:
             t.check(config)
@@ -230,6 +250,22 @@ def integrate(integrand: Callable, *,
             sys.stdout.write(yellow(
                 f"Total time: {time.time() - start:.2f} seconds.\n"))
     return result
+
+
+def _merge_stats(a, b):
+    """Merge two iteration-stat dicts (all fields are additive: per-block
+    measurement sums, normalization counts, histograms, tallies)."""
+    if a is None:
+        return b
+    out = {"neval": a["neval"] + b["neval"],
+           "obs_blocks": jax.tree_util.tree_map(
+               lambda x, y: x + y, a["obs_blocks"], b["obs_blocks"]),
+           "norm_blocks": a["norm_blocks"] + b["norm_blocks"],
+           "hists": [x + y for x, y in zip(a["hists"], b["hists"])]}
+    for k in ("visited", "propose", "accept"):
+        if k in a:
+            out[k] = a[k] + b[k]
+    return out
 
 
 def _component(obs_blocks, o: int):
@@ -265,16 +301,26 @@ def _tree_sq_sum_blocks(m):
     return jax.tree_util.tree_map(f, m)
 
 
-class _ConfigSnapshot:
-    """Cheap per-iteration config snapshot for the Result history.
+def _snapshot_config(config, iter_neval: int):
+    """Full per-iteration config snapshot for the Result history.
 
-    Carries this iteration's eval count (so Result.neval sums correctly) and
-    the trained reweight/visited at that point.
+    A deep copy of the Configuration — trained grids/CDFs, reweight,
+    visited, tallies — exactly like the reference's per-iteration
+    deep-copied configs (src/main.jl:296-320, src/statistics.jl:16-23), so
+    any iteration's state can be inspected or warm-started from
+    (``integrate(config=res.iterations[k][2], ...)``).  ``neval`` is set
+    to THIS iteration's eval count so ``Result.neval`` sums correctly.
+    ``userdata`` is shared by reference, not copied (it may be large and
+    is never mutated by the framework).
     """
+    import copy
 
-    def __init__(self, config, iter_neval: int):
-        self.N = config.N
-        self.neval = int(iter_neval)
-        self.dof = config.dof
-        self.reweight = config.reweight.copy()
-        self.visited = config.visited.copy()
+    ud = config.userdata
+    config.userdata = None
+    try:
+        snap = copy.deepcopy(config)
+    finally:
+        config.userdata = ud
+    snap.userdata = ud
+    snap.neval = int(iter_neval)
+    return snap

@@ -126,7 +126,9 @@ class Continuous(_LeafVar):
     value_dtype = jnp.float32
     n_uniform_draw = 1
 
-    def __new__(cls, lower, upper=None, size=MAX_ORDER, **kwargs):
+    def __new__(cls, lower=None, upper=None, size=MAX_ORDER, **kwargs):
+        if lower is None:
+            return super().__new__(cls)  # copy/pickle protocol path
         if upper is None or isinstance(lower, (list, tuple)) and not np.isscalar(lower):
             # vectorized ctor: Continuous([(a,b), (c,d), ...])
             bounds = lower
@@ -229,7 +231,9 @@ class Discrete(_LeafVar):
     value_dtype = jnp.int32
     n_uniform_draw = 1
 
-    def __new__(cls, lower, upper=None, size=MAX_ORDER, **kwargs):
+    def __new__(cls, lower=None, upper=None, size=MAX_ORDER, **kwargs):
+        if lower is None:
+            return super().__new__(cls)  # copy/pickle protocol path
         if isinstance(lower, (list, tuple)) and not np.isscalar(lower):
             first = lower[0]
             if isinstance(first, (list, tuple, np.ndarray)):

@@ -67,12 +67,22 @@ HIST_EVERY = 8  # histogram subsample period (see module docstring)
 N_LATTICE = 8   # precomputed multiplier lattices per leaf (decorrelation)
 
 
-def chain_eligible(spec, *, measure, weight_dtype, S: int = 16) -> bool:
-    """Static checks for the fused chain kernel (else: XLA scan path)."""
-    from ..models.variable import Continuous
+MAX_DISCRETE_NBIN = 32
+MAX_MEASURE_COMPONENTS = 64
 
-    if measure is not None:
-        return False
+
+def obs_components(obs_proto):
+    """Flattened component count of an observable prototype pytree."""
+    import jax.tree_util as jtu
+    return sum(max(int(np.prod(np.shape(x))), 1)
+               for x in jtu.tree_leaves(obs_proto))
+
+
+def chain_eligible(spec, *, measure, weight_dtype, obs_proto=None,
+                   S: int = 16) -> bool:
+    """Static checks for the fused chain kernel (else: XLA scan path)."""
+    from ..models.variable import Continuous, Discrete
+
     # the kernel's VMEM accumulators and fori_loop carry are float32; any
     # other weight dtype would promote the carry mid-loop (hard trace error)
     if weight_dtype != jnp.float32:
@@ -80,13 +90,23 @@ def chain_eligible(spec, *, measure, weight_dtype, S: int = 16) -> bool:
     drawn = [li for li in spec.leaves if li.ndraw > 0]
     if not drawn:
         return False
-    if any(not isinstance(li.leaf, Continuous) for li in spec.leaves):
-        return False
     w_inst = S * 128
-    for li in drawn:
-        ninc = li.leaf.ninc
-        if ninc & (ninc - 1) or w_inst % ninc:   # lattice-roll requirement
-            return False
+    for li in spec.leaves:
+        leaf = li.leaf
+        if isinstance(leaf, Continuous):
+            ninc = leaf.ninc
+            if li.ndraw > 0 and (ninc & (ninc - 1) or w_inst % ninc):
+                return False                     # lattice-roll requirement
+        elif isinstance(leaf, Discrete):
+            if li.ndraw > 0 and leaf.nbin > MAX_DISCRETE_NBIN:
+                return False
+        else:
+            return False                         # FermiK etc: XLA path
+    ncomp = spec.N
+    if measure is not None:
+        ncomp = obs_components(obs_proto)
+        if ncomp > MAX_MEASURE_COMPONENTS:
+            return False                         # VMEM accumulator budget
     # VMEM working-set bound: per-walker-tile f32 arrays (slot state ×2 for
     # the proposal copies, weights/pads ×2, accumulators) + the stacked
     # lattice bases + histograms must fit the per-core budget with headroom
@@ -94,31 +114,112 @@ def chain_eligible(spec, *, measure, weight_dtype, S: int = 16) -> bool:
     n, nd, nvar = spec.N, spec.N + 1, spec.nvar
     nslots = sum(li.ndraw for li in drawn)
     tile = S * 128 * 4
-    tiles = 6 * nslots + 3 * n + 3 * nd + 2 * nvar + 10
-    bases = sum(2 * N_LATTICE * tile for _ in drawn)
-    hists = sum(level_size(li.leaf.ninc) ** 2 * 4 for li in drawn
+    tiles = 6 * nslots + 2 * n + ncomp + 3 * nd + 2 * nvar + 10
+    bases = sum(2 * N_LATTICE * tile for li in drawn
+                if isinstance(li.leaf, Continuous))
+    hists = sum(level_size(li.leaf.nhist) ** 2 * 4 for li in drawn
                 if getattr(li.leaf, "adapt", False))
     if tiles * tile + bases + hists > 48 * 1024 * 1024:
         return False
     return True
 
 
+def make_measure_batched(spec, measure, weight_dtype, obs_proto):
+    """Batched custom-measure eval on [ndraw, S, 128] leaf values.
+
+    vegasmc measure convention: ``measure(vars, relw, config)`` returning
+    the observable-contribution pytree (montecarlo.jl:213-232); ``relw``
+    arrives as an [n, S, 128] array so per-sample-style indexing
+    ``relw[i]`` works unchanged, but the measure must broadcast over the
+    trailing sample axes (validated by :func:`validate_measure_batched`).
+    """
+    from .pallas_vegas import build_view
+
+    uc = spec.uconfig
+    _view = build_view(spec)
+
+    def _m(leaf_vals, relw_list):
+        v = _view(leaf_vals)
+        relw = jnp.stack(relw_list)
+        tile = relw_list[0].shape
+        out = measure(v, relw, uc)
+
+        def fix(z, proto):
+            z = jnp.asarray(z, weight_dtype)
+            return jnp.broadcast_to(z, np.shape(proto) + tile)
+
+        return jax.tree_util.tree_map(fix, out, obs_proto)
+
+    return _m
+
+
+def validate_measure_batched(spec, measure_b, measure, obs_proto) -> bool:
+    """Prove batched measure == per-sample vmapped measure (else: XLA)."""
+    from ..models.variable import Discrete
+
+    try:
+        rng = np.random.default_rng(54321)
+        leaf_vals = []
+        for li in spec.leaves:
+            nd_ = max(li.ndraw, 1)
+            if isinstance(li.leaf, Discrete):
+                v = rng.integers(li.leaf.lower, li.leaf.upper + 1,
+                                 (nd_, 4, 2))
+                leaf_vals.append(jnp.asarray(v, jnp.int32)[: li.ndraw])
+            else:
+                lo = float(getattr(li.leaf, "lower", 0.0))
+                rg = float(getattr(li.leaf, "range", 1.0))
+                u = rng.uniform(0.05, 0.95, (nd_, 4, 2))
+                leaf_vals.append(jnp.asarray(lo + rg * u,
+                                             jnp.float32)[: li.ndraw])
+        relw = jnp.asarray(rng.uniform(0.1, 1.0, (spec.N, 4, 2)),
+                           jnp.float32)
+        wb = measure_b(leaf_vals, [relw[i] for i in range(spec.N)])
+        uc = spec.uconfig
+
+        def per_sample(vals, rw_col):
+            pools = [{"val": v} for v in vals]
+            out = measure(spec.view(pools), rw_col, uc)
+            # broadcast-friendly measures may carry singleton sample axes
+            # per sample; reshape to the prototype's shape (identity for
+            # per-sample-style measures)
+            return jax.tree_util.tree_map(
+                lambda z, p: jnp.reshape(z, np.shape(p)), out, obs_proto)
+
+        wv = jax.vmap(jax.vmap(per_sample, in_axes=-1, out_axes=-1),
+                      in_axes=-1, out_axes=-1)(leaf_vals, relw)
+        ok = jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.allclose(a, jnp.asarray(b, a.dtype),
+                                           rtol=1e-5, atol=1e-6)), wb, wv)
+        return all(jax.tree_util.tree_leaves(ok))
+    except Exception:
+        return False
+
+
 def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
                         wtiles: int, S: int, nsteps: int, mf: int,
-                        interpret: bool = False):
+                        interpret: bool = False, measure_batched=None,
+                        obs_proto=None):
     """Return run_all(params, kd [B*wtiles, 2] uint32) with the
     VegasMCIteration.run_all output contract:
-    (obs [block, n], norm [block], visited [nd], hists, prop_cnt, acc_cnt).
+    (obs [block, n] — or the obs_proto pytree with leading [block] when a
+    custom measure is active — norm [block], visited [nd], hists,
+    prop_cnt, acc_cnt).
     """
+    from ..models.variable import Discrete
+
     n = spec.N
     nd = n + 1
     norm = spec.norm
     nvar = spec.nvar
     leaves = spec.leaves
     dleaf = [i for i, li in enumerate(leaves) if li.ndraw > 0]
+    cleaf = [i for i in dleaf if not isinstance(leaves[i].leaf, Discrete)]
+    xleaf = [i for i in dleaf if isinstance(leaves[i].leaf, Discrete)]
     eligible_groups = [g for g in range(nvar) if spec.maxdof[g] > 0]
     warmup = nsteps // 100  # montecarlo.jl:213
     f32 = jnp.float32
+    i32 = jnp.int32
     LN = 128
     NF = S * LN                                   # walkers per instance
     hk = min(HIST_EVERY, nsteps)
@@ -126,18 +227,29 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
     pad_np = np.asarray(spec.mask_pad)            # [nd, nvar, mm] static
     adapt_leaves = [i for i in dleaf if getattr(leaves[i].leaf, "adapt",
                                                 False)]
-    Ls = {i: level_size(leaves[i].leaf.ninc) for i in dleaf}
+    Ls = {i: level_size(leaves[i].leaf.nhist) for i in dleaf}
+    # flattened observable components (custom measure path)
+    if measure_batched is not None:
+        proto_leaves, proto_def = jax.tree_util.tree_flatten(obs_proto)
+        comp_shapes = [np.shape(x) for x in proto_leaves]
+        ncomp = sum(max(int(np.prod(s)), 1) for s in comp_shapes)
+    else:
+        ncomp = n
 
     def kernel(kd_ref, rw_ref, *refs):
-        # refs layout: atab (SMEM [nleaf, R] int32 multipliers), then per
-        # drawn leaf (pgbase, pibase) VMEM [R*S, 128] stacked lattices;
-        # outs: obs (SMEM [B, n]), norm (SMEM [B, 1]),
+        # refs layout: atab (SMEM [ncleaf, R] int32 multipliers), then per
+        # Continuous drawn leaf (pgbase, pibase) VMEM [R*S, 128] stacked
+        # lattices, then per Discrete drawn leaf (cdf, dist) SMEM;
+        # outs: obs (SMEM [B, ncomp]), norm (SMEM [B, 1]),
         #       visited (SMEM [1, nd]), pc/ac (SMEM [1, nvar]),
         #       hist per adapt leaf (VMEM [L, L])
         atab_ref = refs[0]
-        pgb = {lidx: refs[1 + 2 * k] for k, lidx in enumerate(dleaf)}
-        pib = {lidx: refs[2 + 2 * k] for k, lidx in enumerate(dleaf)}
-        o = 1 + 2 * len(dleaf)
+        pgb = {lidx: refs[1 + 2 * k] for k, lidx in enumerate(cleaf)}
+        pib = {lidx: refs[2 + 2 * k] for k, lidx in enumerate(cleaf)}
+        o = 1 + 2 * len(cleaf)
+        cdfr = {lidx: refs[o + 2 * k] for k, lidx in enumerate(xleaf)}
+        distr = {lidx: refs[o + 1 + 2 * k] for k, lidx in enumerate(xleaf)}
+        o += 2 * len(xleaf)
         obs_ref, norm_ref, vis_ref, pc_ref, ac_ref = refs[o:o + 5]
         hist_refs = {lidx: refs[o + 5 + k]
                      for k, lidx in enumerate(adapt_leaves)}
@@ -212,7 +324,8 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
             return jnp.where(lane >= m, a, bq)
 
         def draw_leaf(lidx, t):
-            """Lattice-roll Vegas-map draw (module docstring, item 1).
+            """Lattice-roll Vegas-map draw (module docstring, item 1) for
+            Continuous pools; threshold-count CDF inversion for Discrete.
 
             Walker i's bin is (a_r * (i + k)) mod ninc with a fresh random
             (lattice r, offset k) per (step, leaf): a single shared lattice
@@ -220,8 +333,20 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
             inflation); rotating among R coprime multipliers spreads the
             per-step proposal set Korobov-style across the torus.
             """
+            if lidx in xleaf:
+                # Discrete: gidx = #{k: u >= cdf[k+1]} (sampler.jl:13-22)
+                nbin = leaves[lidx].leaf.nbin
+                u = draw_u(t)
+                gidx = jnp.zeros((S, LN), i32)
+                for k in range(nbin - 1):
+                    gidx = gidx + (u >= cdfr[lidx][k + 1]).astype(i32)
+                prob = jnp.zeros((S, LN), f32)
+                for k in range(nbin):
+                    prob = jnp.where(gidx == k, distr[lidx][k], prob)
+                value = gidx + np.int32(leaves[lidx].leaf.lower)
+                return value, gidx, prob
             ninc = leaves[lidx].leaf.ninc
-            kidx = dleaf.index(lidx)
+            kidx = cleaf.index(lidx)
             r = draw_i(t) % N_LATTICE
             a = atab_ref[kidx, r]
             k = draw_i(t) % NF
@@ -282,15 +407,19 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
                 p = p + jnp.abs(weights[i]) * rw_ref[i] * pads[i]
             return p
 
-        def eval_all(vals):
+        def leaf_vals_of(vals):
             leaf_vals = []
             for lidx, li in enumerate(leaves):
                 if li.ndraw > 0:
                     leaf_vals.append(jnp.stack(
                         [vals[(lidx, s)] for s in range(li.ndraw)], axis=0))
                 else:
-                    leaf_vals.append(jnp.zeros((0, S, LN), f32))
-            return eval_batched(leaf_vals)      # list of n (S,128)
+                    dt = i32 if lidx in xleaf else f32
+                    leaf_vals.append(jnp.zeros((0, S, LN), dt))
+            return leaf_vals
+
+        def eval_all(vals):
+            return eval_batched(leaf_vals_of(vals))    # list of n (S,128)
 
         # ---- initialize! (variable.jl:576-580): fresh draw everywhere ----
         vals, gidxs, probs = {}, {}, {}
@@ -310,7 +439,7 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
         carry = dict(
             vals=vals, gidxs=gidxs, probs=probs,
             weights=list(weights), pads=list(pads), p=p,
-            obs=[zero] * n, nrm=zero, vis=[zero] * nd,
+            obs=[zero] * ncomp, nrm=zero, vis=[zero] * nd,
             pc=[zero] * nvar, ac=[zero] * nvar,
         )
 
@@ -409,11 +538,27 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
             mw = jnp.where(measured, 1.0, 0.0).astype(f32)
             obs = list(carry["obs"])
             vis = list(carry["vis"])
+            relws = []
             for i in range(n):
                 relw = weights[i] * pads[i] / p
-                obs[i] = obs[i] + relw * mw
+                relws.append(relw)
                 vis[i] = vis[i] + jnp.abs(weights[i] * pads[i]
                                           * rw_ref[i]) / p * mw
+            if measure_batched is None:
+                for i in range(n):
+                    obs[i] = obs[i] + relws[i] * mw
+            else:
+                contrib = measure_batched(leaf_vals_of(vals), relws)
+                k = 0
+                for leafv, shape in zip(jax.tree_util.tree_leaves(contrib),
+                                        comp_shapes):
+                    if shape == ():
+                        obs[k] = obs[k] + leafv * mw
+                        k += 1
+                    else:
+                        for idx in np.ndindex(shape):
+                            obs[k] = obs[k] + leafv[idx] * mw
+                            k += 1
             norm_w = pads[norm] / p
             nrm = carry["nrm"] + norm_w * mw
             vis[norm] = vis[norm] + rw_ref[norm] * norm_w * mw
@@ -432,7 +577,7 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
 
         @pl.when(wt == 0)
         def _():
-            for i in range(n):
+            for i in range(ncomp):
                 obs_ref[b, i] = 0.0
             norm_ref[b, 0] = 0.0
 
@@ -444,7 +589,7 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
                 pc_ref[0, g] = 0.0
                 ac_ref[0, g] = 0.0
 
-        for i in range(n):
+        for i in range(ncomp):
             obs_ref[b, i] += red(carry["obs"][i])
         norm_ref[b, 0] += red(carry["nrm"])
         for i in range(nd):
@@ -455,8 +600,8 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
 
     # host-chosen odd multipliers (coprime to the power-of-two ninc)
     host_rng = np.random.default_rng(spec.cfg.seed + 1234)
-    a_np = np.zeros((len(dleaf), N_LATTICE), np.int32)
-    for kk, lidx in enumerate(dleaf):
+    a_np = np.zeros((max(len(cleaf), 1), N_LATTICE), np.int32)
+    for kk, lidx in enumerate(cleaf):
         ninc = leaves[lidx].leaf.ninc
         a_np[kk] = host_rng.integers(0, max(ninc // 2, 1),
                                      N_LATTICE) * 2 + 1
@@ -464,9 +609,9 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
     def run_all(params, kd):
         B = block
         bases = []
-        for kk, lidx in enumerate(dleaf):
-            L = Ls[lidx]
+        for kk, lidx in enumerate(cleaf):
             ninc = leaves[lidx].leaf.ninc
+            L = level_size(ninc)
             flat = params["leaf"][lidx]["tab"].reshape(L * L, 2)
             i_all = jnp.arange(NF)
             rows_g, rows_i = [], []
@@ -476,15 +621,20 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
                 rows_i.append(flat[idx, 1].reshape(S, LN))
             bases += [jnp.concatenate(rows_g, axis=0),
                       jnp.concatenate(rows_i, axis=0)]
+        disc_ins = []
+        for lidx in xleaf:
+            cdf = params["leaf"][lidx]["cdf"].astype(jnp.float32)
+            disc_ins += [cdf, cdf[1:] - cdf[:-1]]
         rw = params["reweight"].astype(jnp.float32)
 
-        in_specs = [
+        in_specs = ([
             pl.BlockSpec(memory_space=pltpu.SMEM),   # kd [B*wtiles, 2]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # reweight [nd]
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # atab [nleaf, R]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # atab [ncleaf, R]
         ] + [pl.BlockSpec((N_LATTICE * S, LN), lambda bb, tt: (0, 0),
-                          memory_space=pltpu.VMEM)] * (2 * len(dleaf))
-        out_shape = ([jax.ShapeDtypeStruct((B, n), f32),
+                          memory_space=pltpu.VMEM)] * (2 * len(cleaf))
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (2 * len(xleaf)))
+        out_shape = ([jax.ShapeDtypeStruct((B, ncomp), f32),
                       jax.ShapeDtypeStruct((B, 1), f32),
                       jax.ShapeDtypeStruct((1, nd), f32),
                       jax.ShapeDtypeStruct((1, nvar), f32),
@@ -505,9 +655,17 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
             interpret=pltpu.InterpretParams() if interpret else False,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(kd, rw, jnp.asarray(a_np), *bases)
+        )(kd, rw, jnp.asarray(a_np), *bases, *disc_ins)
 
         obs_b = outs[0]
+        if measure_batched is not None:
+            # rebuild the observable pytree with leading [block] axis
+            cols, k = [], 0
+            for shape in comp_shapes:
+                m = max(int(np.prod(shape)), 1)
+                cols.append(obs_b[:, k:k + m].reshape((B,) + shape))
+                k += m
+            obs_b = jax.tree_util.tree_unflatten(proto_def, cols)
         norm_b = outs[1][:, 0]
         visited = outs[2][0]
         pc = outs[3][0]

@@ -165,9 +165,16 @@ def validate_batched(spec, eval_batched, eval_fn) -> bool:
     Pallas fast path.
     """
     try:
+        from ..models.variable import Discrete
+
         rng = np.random.default_rng(12345)
         leaf_vals = []
         for li in spec.leaves:
+            if isinstance(li.leaf, Discrete):
+                v = rng.integers(li.leaf.lower, li.leaf.upper + 1,
+                                 (li.ndraw, 4, 2))
+                leaf_vals.append(jnp.asarray(v, jnp.int32))
+                continue
             lo = float(getattr(li.leaf, "lower", 0.0))
             rg = float(getattr(li.leaf, "range", 1.0))
             u = rng.uniform(0.05, 0.95, (li.ndraw, 4, 2))

@@ -89,33 +89,45 @@ class VegasMCIteration:
         # ---- fused Pallas chain kernel (ops/pallas_chain.py) ----
         self.backend = "xla"
         if backend in ("auto", "pallas"):
+            from ..models.variable import Continuous
             from ..ops import pallas_chain, pallas_vegas
             devs = (np.asarray(mesh.devices).ravel() if mesh is not None
                     else jax.devices())
             interp = devs[0].platform == "cpu"
             if ((backend == "pallas" or not interp)
                     and pallas_chain.chain_eligible(
-                        spec, measure=measure, weight_dtype=weight_dtype)):
+                        spec, measure=measure, weight_dtype=weight_dtype,
+                        obs_proto=obs_proto)):
                 eval_b = pallas_vegas.make_eval_batched(
                     spec, integrand, inplace, weight_dtype)
                 eval_fn_probe = spec.make_eval(integrand, inplace,
                                                weight_dtype)
+                measure_b = None
+                measure_ok = True
+                if measure is not None:
+                    measure_b = pallas_chain.make_measure_batched(
+                        spec, measure, weight_dtype, obs_proto)
+                    measure_ok = pallas_chain.validate_measure_batched(
+                        spec, measure_b, measure, obs_proto)
                 # per-device shapes: `block` and `W` are already local.
                 # Pick the largest walker tile that (a) fits the requested
                 # walker budget without inflating it (which would shorten
                 # chains below the requested length) and (b) keeps S*128 a
-                # multiple of every ninc (lattice rolls); if none fits (or
-                # the batched-eval probe fails), use the XLA path.
+                # multiple of every Continuous ninc (lattice rolls); if none
+                # fits (or a batched probe fails), use the XLA path.
                 S = 0
                 for cand in (16, 8):
                     if block * cand * 128 > W:
                         continue
                     if all((cand * 128) % li.leaf.ninc == 0
-                           for li in spec.leaves if li.ndraw > 0):
+                           for li in spec.leaves
+                           if li.ndraw > 0
+                           and isinstance(li.leaf, Continuous)):
                         S = cand
                         break
-                if S > 0 and pallas_vegas.validate_batched(spec, eval_b,
-                                                           eval_fn_probe):
+                if (S > 0 and measure_ok
+                        and pallas_vegas.validate_batched(spec, eval_b,
+                                                          eval_fn_probe)):
                     wtiles = max(1, W // (block * S * 128))
                     Wg = block * wtiles * S * 128 * ndev
                     self.nwalkers = Wg
@@ -124,7 +136,8 @@ class VegasMCIteration:
                     run_all_pallas = pallas_chain.build_chain_run_all(
                         spec, eval_b, block=block, wtiles=wtiles, S=S,
                         nsteps=self.nsteps, mf=measurefreq,
-                        interpret=interp)
+                        interpret=interp, measure_batched=measure_b,
+                        obs_proto=obs_proto)
                     self.backend = "pallas"
                     rows_local = block * wtiles
 

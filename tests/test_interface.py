@@ -37,3 +37,54 @@ def test_solver_symbol_colon_prefix():
                     var=Continuous(0.0, 1.0), dof=[[1]],
                     solver=":vegas", verbose=-2, seed=4)
     assert np.isfinite(float(np.asarray(res.mean[0])))
+
+
+def test_full_config_snapshots_and_midhistory_warm_start():
+    """Result.iterations carries full deep-copied configs (reference
+    src/statistics.jl:16-23): trained grids evolve across snapshots, and
+    any mid-history snapshot warm-starts a new integrate() call."""
+    from mcintegration_tpu.configuration import Configuration
+
+    def f(x, c):
+        return -jnp.log(jnp.maximum(x[0], 1e-30)) \
+            / jnp.sqrt(jnp.maximum(x[0], 1e-30)) / 4.0
+
+    res = integrate(f, var=Continuous(0.0, 1.0), dof=[[1]], neval=2 ** 14,
+                    niter=4, solver="vegas", verbose=-2, seed=5)
+    snaps = [h[2] for h in res.iterations]
+    assert all(isinstance(s, Configuration) for s in snaps)
+    # Result.neval sums per-iteration counts
+    assert res.neval == sum(s.neval for s in snaps)
+    # adaptive training reshapes the grid between snapshots
+    g0 = snaps[0].var[0].grid
+    g3 = snaps[3].var[0].grid
+    assert g0.shape == g3.shape and not np.allclose(g0, g3)
+    # snapshots are decoupled from the live config
+    live = res.config.var[0].grid
+    snaps[0].var[0].grid[:] = 0.0
+    assert not np.allclose(snaps[0].var[0].grid, live)
+
+    # warm-start from the iteration-2 snapshot
+    res2 = integrate(f, config=snaps[2], neval=2 ** 14, niter=3,
+                     verbose=-2, solver="vegas")
+    m = float(np.asarray(res2.mean[0]))
+    e = float(np.asarray(res2.stdev[0]))
+    assert abs(m - 1.0) < 10 * max(e, 1e-9)
+
+
+def test_midrun_timer_polls():
+    """With timers active, each iteration splits into sub-dispatches and
+    polls the timers with live tallies (reference polls every 1000 steps,
+    src/vegas_mc/montecarlo.jl:233-237)."""
+    calls = []
+
+    class Probe:
+        def check(self, cfg, *a):
+            calls.append(int(cfg.neval))
+
+    integrate(lambda x, c: x[0], neval=2 ** 14, niter=2,
+              var=Continuous(0.0, 1.0), dof=[[1]], solver="vegasmc",
+              verbose=-2, seed=6, timer=[Probe()])
+    # nsplit=4: 3 mid-iteration polls + 1 end-of-iteration poll per iter
+    assert len(calls) == 8, calls
+    assert calls[0] < calls[3] <= calls[-1]
