@@ -50,13 +50,14 @@ DELTA = 0.1
 EXACT = np.sqrt(np.pi) * DELTA  # 0.1772454
 
 
-def shifted_grid(s: float, ninc: int = 1000) -> np.ndarray:
+def shifted_grid(s: float, nodes: int = 1025) -> np.ndarray:
     """Grid nodes = equal-probability quantiles of the shifted Gaussian
-    g(x) = exp(-(x-mu)^2/delta^2) truncated to [0, beta], mu = beta/2 - s."""
+    g(x) = exp(-(x-mu)^2/delta^2) truncated to [0, beta], mu = beta/2 - s.
+    1024 increments (power of two) keep the Pallas chain kernel eligible."""
     mu = BETA / 2 - s
     a = math.erf((0.0 - mu) / DELTA)
     b = math.erf((BETA - mu) / DELTA)
-    q = a + (b - a) * np.linspace(0.0, 1.0, ninc)
+    q = a + (b - a) * np.linspace(0.0, 1.0, nodes)
     x = mu + DELTA * _erfinv(q)
     x[0], x[-1] = 0.0, BETA
     return np.maximum.accumulate(x)
@@ -67,19 +68,26 @@ def run(solver: str, s: float, neval: int):
     var = Continuous(0.0, BETA, adapt=False, grid=grid)
     f = lambda x, c: jnp.exp(-((x[0] - BETA / 2) ** 2) / DELTA**2)
     kw = {}
+    niter = 10
     if solver == "vegasmc":
-        # the normalization-sector scheme's robustness claim rests on LONG
-        # chains (the reference runs 1e7-1e8 sequential updates); use one
-        # chain per block so each runs neval/32 steps
-        kw = dict(nwalkers=32)
-    res = integrate(f, var=var, dof=[[1]], neval=neval, niter=10,
+        # the normalization-sector robustness claim rests on LONG chains
+        # (the reference runs 1e7-1e8 sequential updates): 8192 walkers
+        # (Pallas chain kernel eligible at block=8) running neval/8192
+        # steps each, with the first half of every chain discarded so the
+        # walk can mix into the shifted peak before measuring
+        kw = dict(nwalkers=8192, warmup=0.5, block=8)
+        niter = 1
+    res = integrate(f, var=var, dof=[[1]], neval=neval, niter=niter,
                     solver=solver, verbose=-2, adapt=False, seed=5, **kw)
     return float(np.asarray(res.mean[0])), float(np.asarray(res.stdev[0]))
 
 
 def main():
-    neval = int(float(sys.argv[1])) if len(sys.argv) > 1 else 1_000_000
-    print(f"exact = {EXACT:.5f}   (neval={neval:.0e} x 10 per cell)")
+    # default sized for the attached TPU: vegasmc runs 8192 chains of
+    # neval/8192 steps; 8e9 gives ~1e6 steps/chain (mixes through s = 4δ,
+    # measured relaxation ~1.4e-5/step) in ~2 min/cell on one v5e chip
+    neval = int(float(sys.argv[1])) if len(sys.argv) > 1 else 8_000_000_000
+    print(f"exact = {EXACT:.5f}   (neval={neval:.0e} per cell)")
     print(f"{'s/delta':>8s} {'vegas (conventional)':>24s} "
           f"{'vegasmc (norm sector)':>24s}")
     for k in (1, 2, 3, 4, 5):

@@ -82,6 +82,7 @@ def integrate(integrand: Callable, *,
               mesh=None,
               nwalkers: Optional[int] = None,
               min_steps_per_walker: int = 256,
+              warmup: Optional[float] = None,
               dtype=jnp.float32,
               backend: str = "auto",
               **kwargs):
@@ -90,7 +91,10 @@ def integrate(integrand: Callable, *,
     Mirrors the reference keyword surface (src/main.jl:71-90); extra
     TPU-specific knobs: ``mesh`` (a jax Mesh whose first axis shards the
     block/walker dimension), ``nwalkers``/``min_steps_per_walker`` (Markov
-    solvers), ``dtype`` (device compute dtype), and ``backend``
+    solvers), ``warmup`` (:vegasmc burn-in fraction discarded per chain
+    per iteration; default 0.01 like the reference — raise toward ~0.5
+    for deliberately frozen, badly mismatched proposals so the chains can
+    mix before measuring), ``dtype`` (device compute dtype), and ``backend``
     ('auto'/'pallas'/'xla'): 'auto' uses the fused Pallas TPU kernel when
     the spec is eligible, 'xla' forces the portable XLA pipeline, 'pallas'
     insists on the fused kernel (warning if the solver has none).
@@ -164,7 +168,8 @@ def integrate(integrand: Callable, *,
             measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
             mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable,
             nwalkers=nwalkers, min_steps_per_walker=min_steps_per_walker,
-            backend=backend)
+            backend=backend,
+            warmup=0.01 if warmup is None else warmup)
     elif solver == "mcmc":
         from .solvers.mcmc import MCMCIteration
         it_kernel = MCMCIteration(

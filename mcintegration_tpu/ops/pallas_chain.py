@@ -199,7 +199,7 @@ def validate_measure_batched(spec, measure_b, measure, obs_proto) -> bool:
 def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
                         wtiles: int, S: int, nsteps: int, mf: int,
                         interpret: bool = False, measure_batched=None,
-                        obs_proto=None):
+                        obs_proto=None, warmup: int | None = None):
     """Return run_all(params, kd [B*wtiles, 2] uint32) with the
     VegasMCIteration.run_all output contract:
     (obs [block, n] — or the obs_proto pytree with leading [block] when a
@@ -217,7 +217,9 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
     cleaf = [i for i in dleaf if not isinstance(leaves[i].leaf, Discrete)]
     xleaf = [i for i in dleaf if isinstance(leaves[i].leaf, Discrete)]
     eligible_groups = [g for g in range(nvar) if spec.maxdof[g] > 0]
-    warmup = nsteps // 100  # montecarlo.jl:213
+    # burn-in discard before measuring (reference fixes 1%, montecarlo.jl:213;
+    # callers may raise it for badly mismatched frozen proposals)
+    warmup = nsteps // 100 if warmup is None else min(int(warmup), nsteps - 1)
     f32 = jnp.float32
     i32 = jnp.int32
     LN = 128

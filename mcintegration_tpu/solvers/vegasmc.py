@@ -62,7 +62,8 @@ class VegasMCIteration:
     def __init__(self, spec: Spec, integrand: Callable, *, measure=None,
                  inplace=False, measurefreq=1, block=16, nevalperblock=10000,
                  mesh=None, weight_dtype=jnp.float32, obs_proto=None,
-                 nwalkers=None, min_steps_per_walker=256, backend="auto"):
+                 nwalkers=None, min_steps_per_walker=256, backend="auto",
+                 warmup=0.01):
         self.spec = spec
         self.block = block
         self.mesh = mesh
@@ -85,6 +86,12 @@ class VegasMCIteration:
         self.nwalkers = Wg
         self.nsteps = nsteps
         self.neval = Wg * nsteps
+        # burn-in discard: measure only after `warmup` fraction of each
+        # walker's chain (reference: fixed 1%, montecarlo.jl:213).  Larger
+        # values pay for unbiasedness when the proposal map is badly
+        # mismatched (frozen-map robustness regime, important_sampling.md).
+        assert 0.0 <= warmup < 1.0, f"warmup fraction must be in [0,1), got {warmup}"
+        self.warmup = float(warmup)
 
         # ---- fused Pallas chain kernel (ops/pallas_chain.py) ----
         self.backend = "xla"
@@ -137,7 +144,8 @@ class VegasMCIteration:
                         spec, eval_b, block=block, wtiles=wtiles, S=S,
                         nsteps=self.nsteps, mf=measurefreq,
                         interpret=interp, measure_batched=measure_b,
-                        obs_proto=obs_proto)
+                        obs_proto=obs_proto,
+                        warmup=int(self.nsteps * self.warmup))
                     self.backend = "pallas"
                     rows_local = block * wtiles
 
@@ -175,7 +183,8 @@ class VegasMCIteration:
         norm = spec.norm
         wb = W // block
         mf = measurefreq
-        warmup = nsteps // 100  # measure once ne >= neval/100 (montecarlo.jl:213)
+        # measure once ne >= warmup*neval (reference fixes 1%, montecarlo.jl:213)
+        warmup = int(nsteps * self.warmup)
 
         eval_fn = spec.make_eval(integrand, inplace, weight_dtype)
         # var types the chain may update (maxdof > 0), static
