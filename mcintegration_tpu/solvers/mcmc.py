@@ -189,14 +189,14 @@ class MCMCIteration:
             return jax.vmap(eval_idx)(pools, idx)
 
         if measure is None:
-            obs_zero = jnp.zeros((n,), weight_dtype)
+            obs_zero = np.zeros((n,), weight_dtype)  # numpy: eager complex arrays are unimplemented on some TPU runtimes
 
             def measure_contrib(pools_one, idx, relw):
                 onehot = (jnp.arange(n) == idx).astype(weight_dtype)
                 return onehot * relw
         else:
             obs_zero = jax.tree_util.tree_map(
-                lambda x: jnp.zeros(np.shape(x), weight_dtype), obs_proto)
+                lambda x: np.zeros(np.shape(x), weight_dtype), obs_proto)
 
             def measure_contrib(pools_one, idx, relw):
                 branches = [

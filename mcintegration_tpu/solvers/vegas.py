@@ -170,13 +170,13 @@ class VegasIteration:
         uc = spec.uconfig
 
         if measure is None:
-            obs_zero = jnp.zeros((n,), weight_dtype)
+            obs_zero = np.zeros((n,), weight_dtype)  # numpy: eager complex arrays are unimplemented on some TPU runtimes
 
             def measure_contrib(vals, relw):
                 return relw  # obs[i] += relative weight (montecarlo.jl:151-153)
         else:
             obs_zero = jax.tree_util.tree_map(
-                lambda x: jnp.zeros(np.shape(x), weight_dtype), obs_proto)
+                lambda x: np.zeros(np.shape(x), weight_dtype), obs_proto)
 
             def measure_contrib(vals, relw):
                 pools = [{"val": v} for v in vals]

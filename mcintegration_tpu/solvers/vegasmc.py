@@ -193,12 +193,12 @@ class VegasMCIteration:
                                  jnp.float32)
 
         if measure is None:
-            obs_zero = jnp.zeros((n,), weight_dtype)
+            obs_zero = np.zeros((n,), weight_dtype)  # numpy: eager complex arrays are unimplemented on some TPU runtimes
             def measure_contrib(pools, relw):
                 return relw
         else:
             obs_zero = jax.tree_util.tree_map(
-                lambda x: jnp.zeros(np.shape(x), weight_dtype), obs_proto)
+                lambda x: np.zeros(np.shape(x), weight_dtype), obs_proto)
             uc = spec.uconfig
             def measure_contrib(pools, relw):
                 return measure(spec.view(pools), relw, uc)

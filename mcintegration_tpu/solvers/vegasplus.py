@@ -28,9 +28,17 @@ Host-side reallocation (float64): d_c = sqrt(acc_c / n_c) damped by ^beta
 (beta=0.75, Lepage 2021 Eq.(24)) with a 2-sample floor, renormalized to the
 chunk size.
 
-Restrictions (v1): all pools Continuous, every integrand uses every slot
-(dof == maxdof — no padding algebra in joint-stratified space), total
-dimensions D <= 10.
+Round 2 (VERDICT item 9): Discrete pools ride along as NON-stratified
+passenger dims (drawn iid from their learned categorical map; their
+density multiplies the joint p), and dof < maxdof works through the same
+padding algebra as :vegas — the estimator ``w_i * pad_i / p`` is unbiased
+for ANY joint density p because the pad factor (the map density of the
+slots integrand i does not use) integrates to one over the unused dims,
+so stratification coupling the dims is harmless (variable.jl:628-657
+semantics, generalized).
+
+Restrictions: Continuous slots are all stratified (their count D <= 10);
+FermiK remains unsupported (as in all vegas-family solvers).
 """
 
 from __future__ import annotations
@@ -62,24 +70,32 @@ class VegasPlusIteration:
         self.block = block
         self.mesh = mesh
         self.beta = beta
+        from ..models.variable import Discrete
         for li in spec.leaves:
-            if not isinstance(li.leaf, Continuous):
+            if not isinstance(li.leaf, (Continuous, Discrete)):
                 raise NotImplementedError(
-                    ":vegasplus currently supports Continuous pools only; "
-                    "use :vegas / :vegasmc / :mcmc for Discrete/FermiK")
-        if not all(spec.pad_trivial[: spec.N]):
-            raise NotImplementedError(
-                ":vegasplus requires every integrand to use every slot "
-                "(dof == maxdof); hypercube stratification is joint over all "
-                "dimensions, which is incompatible with padding algebra")
+                    ":vegasplus supports Continuous and Discrete pools; "
+                    "FermiK is :mcmc-only (test/bubble_FermiK.jl:2)")
 
-        # slot layout: one stratification dimension per (leaf, slot)
-        self.dims = []  # (lidx, slot)
+        # stratification dimensions: one per Continuous (leaf, slot);
+        # Discrete slots are non-stratified passengers drawn iid from
+        # their learned categorical map
+        self.dims = []       # (lidx, slot) stratified
+        self.passengers = [] # (lidx, slot) iid
         for lidx, li in enumerate(spec.leaves):
+            target = (self.passengers if isinstance(li.leaf, Discrete)
+                      else self.dims)
             for slot in range(li.ndraw):
-                self.dims.append((lidx, slot))
+                target.append((lidx, slot))
         D = len(self.dims)
-        assert 1 <= D <= 10, f"vegasplus supports 1..10 dimensions, got {D}"
+        if D == 0:
+            raise NotImplementedError(
+                ":vegasplus stratifies over Continuous slots and this spec "
+                "has none; a pure-Discrete integrand gains nothing from "
+                "hypercube stratification — use :vegas")
+        assert D <= 10, (
+            f"vegasplus supports up to 10 stratified (Continuous) "
+            f"dimensions, got {D}")
 
         c = max(1, min(int(nevalperblock), max_chunk))
         if nstrat is None:
@@ -103,13 +119,13 @@ class VegasPlusIteration:
         eval_fn = spec.make_eval(integrand, inplace, weight_dtype)
 
         if measure is None:
-            obs_zero = jnp.zeros((n,), weight_dtype)
+            obs_zero = np.zeros((n,), weight_dtype)  # numpy: eager complex arrays are unimplemented on some TPU runtimes
 
             def measure_contrib(vals, relw):
                 return relw
         else:
             obs_zero = jax.tree_util.tree_map(
-                lambda x: jnp.zeros(np.shape(x), weight_dtype), obs_proto)
+                lambda x: np.zeros(np.shape(x), weight_dtype), obs_proto)
 
             def measure_contrib(vals, relw):
                 return measure(spec.view([{"val": v} for v in vals]), relw, uc)
@@ -147,6 +163,7 @@ class VegasPlusIteration:
                 key_t = jax.random.fold_in(block_key, t)
 
                 leaf_cols = [[None] * li.ndraw for li in spec.leaves]
+                slot_rho = {}                             # (lidx, slot) -> [c]
                 prob_map = None
                 iys = []
                 for d, (lidx, slot) in enumerate(self.dims):
@@ -163,12 +180,28 @@ class VegasPlusIteration:
                     x = gi[:, 0] + dy * gi[:, 1]
                     rho = 1.0 / (ninc * gi[:, 1])
                     leaf_cols[lidx][slot] = x
+                    slot_rho[(lidx, slot)] = rho
                     prob_map = rho if prob_map is None else prob_map * rho
-                    iys.append((lidx, iy))
+                    iys.append((lidx, slot, iy))
+                # Discrete passengers: iid draws from the learned map;
+                # their density joins p but not the stratification
+                prob_pass = None
+                for d, (lidx, slot) in enumerate(self.passengers):
+                    li = spec.leaves[lidx]
+                    val, gidx, pr = li.leaf.dev_draw(
+                        params["leaf"][lidx],
+                        jax.random.fold_in(key_t, 211 + d), (c,))
+                    leaf_cols[lidx][slot] = val
+                    slot_rho[(lidx, slot)] = pr
+                    prob_pass = pr if prob_pass is None else prob_pass * pr
+                    iys.append((lidx, slot, gidx))
 
                 leaf_vals = [jnp.stack(cols, axis=0) for cols in leaf_cols]
-                # sampling density p(x) = (n_c * ncubes / T) * prod rho_d
+                # sampling density p(x) = (n_c * ncubes / T) * prod_strat
+                #                         rho_d * prod_passenger rho
                 dens = nsamp * (float(ncubes) / c) * prob_map
+                if prob_pass is not None:
+                    dens = dens * prob_pass
                 jac = 1.0 / dens
 
                 def _per_sample(vals):
@@ -176,7 +209,33 @@ class VegasPlusIteration:
 
                 weights = jax.vmap(_per_sample, in_axes=-1, out_axes=-1)(
                     leaf_vals)                            # [n, c]
-                relw = weights * jac[None, :].astype(weights.dtype)
+                # padding algebra (variable.jl:628-657): relw_i = w_i *
+                # pad_i / p with pad_i the map density of the slots
+                # integrand i does NOT use — unbiased under any joint p
+                # because pad_i integrates to 1 over the unused dims
+                gprob = {}
+                for (lidx, slot), rho in slot_rho.items():
+                    g = spec.leaves[lidx].group
+                    key_gs = (g, slot)
+                    gprob[key_gs] = (rho if key_gs not in gprob
+                                     else gprob[key_gs] * rho)
+                relw_rows = []
+                pads = []
+                for i in range(n):
+                    factor = jac
+                    pad_i = None
+                    if not spec.pad_trivial[i]:
+                        for g in range(spec.nvar):
+                            for slot in range(spec.cfg.dof[i][g],
+                                              spec.maxdof[g]):
+                                pad_i = (gprob[(g, slot)] if pad_i is None
+                                         else pad_i * gprob[(g, slot)])
+                    pads.append(pad_i)
+                    if pad_i is not None:
+                        factor = factor * pad_i
+                    relw_rows.append(weights[i]
+                                     * factor.astype(weights.dtype))
+                relw = jnp.stack(relw_rows, axis=0)       # [n, c]
 
                 if mf > 1:
                     ne = t * c + jnp.arange(c) + 1
@@ -195,19 +254,35 @@ class VegasPlusIteration:
                 norm_acc = ksum.kadd(norm_acc, count)
 
                 # per-cube second moments for Neyman reallocation (clipped:
-                # an untrained map near a singularity must not overflow f32)
-                wj_map = jnp.minimum(
-                    jnp.sum(jnp.abs(weights), axis=0) / prob_map, 1e17)
+                # an untrained map near a singularity must not overflow f32).
+                # pad factors join the score so unused-slot noise steers the
+                # allocation the same way it inflates the variance
+                denom = (prob_map if prob_pass is None
+                         else prob_map * prob_pass)
+                score = None
+                for i in range(n):
+                    s = jnp.abs(weights[i])
+                    if pads[i] is not None:
+                        s = s * pads[i]
+                    score = s if score is None else score + s
+                wj_map = jnp.minimum(score / denom, 1e17)
                 sig_acc = onehot_accumulate(sig_acc, cube_f, wj_map**2)
 
-                # per-dim Vegas-map histograms: (|w_i| jac)^2 summed over i
-                wj2 = jnp.sum(
-                    jnp.minimum(jnp.abs(weights) * jac[None, :], 1e17) ** 2,
-                    axis=0)
-                for (lidx, iy) in iys:
+                # per-dim Vegas-map histograms: |relw_i|^2 summed over the
+                # integrands that USE the slot (vegas.py hist masking)
+                used = np.asarray(spec.mask_used)[:n]     # static
+                wj2_rows = jnp.minimum(jnp.abs(relw), 1e17) ** 2   # [n, c]
+                for (lidx, slot, iy) in iys:
                     li = spec.leaves[lidx]
-                    if getattr(li.leaf, "adapt", False):
-                        hists[lidx] = onehot_accumulate(hists[lidx], iy, wj2)
+                    if not getattr(li.leaf, "adapt", False):
+                        continue
+                    mask = used[:, li.group, slot]        # [n] static
+                    if not mask.any():
+                        continue
+                    wj2 = jnp.sum(
+                        wj2_rows * jnp.asarray(mask, wj2_rows.dtype)[:, None],
+                        axis=0)
+                    hists[lidx] = onehot_accumulate(hists[lidx], iy, wj2)
                 return (obs_acc, norm_acc, hists, sig_acc), None
 
             obs0 = ksum.tree_kzeros(obs_zero)

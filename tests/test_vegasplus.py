@@ -59,14 +59,45 @@ def test_counts_adapt():
     assert it.counts.min() >= 2
 
 
-def test_rejects_discrete():
+def test_rejects_pure_discrete():
+    # no Continuous slot -> nothing to stratify (use :vegas instead)
     with pytest.raises(NotImplementedError):
         integrate(lambda x, c: 1.0, var=Discrete(1, 3), dof=[[1]],
                   neval=1e4, solver="vegasplus", verbose=-2, seed=3)
 
 
-def test_rejects_padding():
-    with pytest.raises(NotImplementedError):
-        integrate(lambda x, c: (x[0], x[0] + x[1]), var=Continuous(0.0, 1.0),
-                  dof=[[1], [2]], neval=1e4, solver="vegasplus", verbose=-2,
-                  seed=4)
+def test_padding_multi_dof():
+    """dof < maxdof through the padding algebra (round 2): the estimator
+    w_i * pad_i / p is unbiased under the stratification-coupled joint p."""
+    def f(x, c):
+        return x[0], jnp.where(x[0] ** 2 + x[1] ** 2 < 1.0, 1.0, 0.0)
+
+    res = integrate(f, var=Continuous(0.0, 1.0), dof=[[1], [2]], neval=1e5,
+                    niter=8, solver="vegasplus", verbose=-2, seed=4)
+    check(res, [0.5, np.pi / 4])
+
+
+def test_discrete_passenger():
+    """Discrete pools ride along as non-stratified dims (round 2)."""
+    def f(x, c):
+        t, d = x
+        return t[0] * t[1] * d[0].astype(jnp.float32)
+
+    res = integrate(f, var=(Continuous(0.0, 1.0), Discrete(1, 4)),
+                    dof=[[2, 1]], neval=2e5, niter=8,
+                    solver="vegasplus", verbose=-2, seed=6)
+    # sum_d (int t dt)^2 * d = 0.25 * (1+2+3+4) = 2.5
+    check(res, 2.5)
+
+
+def test_discrete_passenger_with_padding():
+    """Both round-2 features at once: the first integrand ignores the
+    Discrete slot and one Continuous slot."""
+    def f(x, c):
+        t, d = x
+        return t[0], t[0] * t[1] * d[0].astype(jnp.float32)
+
+    res = integrate(f, var=(Continuous(0.0, 1.0), Discrete(1, 4)),
+                    dof=[[1, 0], [2, 1]], neval=2e5, niter=8,
+                    solver="vegasplus", verbose=-2, seed=7)
+    check(res, [0.5, 2.5])
