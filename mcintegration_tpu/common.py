@@ -26,8 +26,13 @@ TINY = float(np.nextafter(np.float64(0.0), np.float64(1.0)) * 1e50)
 assert TINY > 0.0  # a zero floor would make every `p > TINY` guard a no-op
 EPSILON = np.finfo(np.float64).eps
 
-# Device-side (float32) floor used when guarding divisions / logs.
-TINY_F32 = 1e-30
+# Device-side float32 floors.  The reference floors float64 probabilities
+# at TINY ≈ 4.94e-274 (MCIntegration.jl:11) — vanishingly small but
+# positive.  In the float32 device domain the equivalent probability floor
+# sits just above the smallest normal (1.18e-38); density denominators
+# (1/prob Jacobians) use a larger guard so the reciprocal cannot overflow.
+TINY_F32 = 1e-38        # probability floor in Metropolis accept guards
+DENS_FLOOR_F32 = 1e-30  # denominator guard for 1/density Jacobians
 
 # Default pool size, mirrors Dist.MaxOrder (distribution.jl).
 MAX_ORDER = 16

@@ -48,6 +48,7 @@ import jax
 import jax.numpy as jnp
 
 from ..common import MAX_ORDER
+from ..common import DENS_FLOOR_F32
 from ..ops.grid import (
     build_cdf,
     sample_continuous,
@@ -376,7 +377,7 @@ class FermiK(_LeafVar):
             value = jnp.stack([kamp * jnp.cos(phi), kamp * jnp.sin(phi)], axis=-1)
             prop = 2 * dk * 2 * jnp.pi * kamp
         bad = kamp <= 0.0
-        prob = jnp.where(bad, 0.0, 1.0 / jnp.maximum(prop, 1e-30))
+        prob = jnp.where(bad, 0.0, 1.0 / jnp.maximum(prop, DENS_FLOOR_F32))
         gidx = jnp.zeros(shape, jnp.int32)
         return value, gidx, prob
 
@@ -386,12 +387,12 @@ class FermiK(_LeafVar):
         kamp = jnp.sqrt(jnp.sum(value * value, axis=-1))
         inside = (kamp > kF - dk) & (kamp < kF + dk)
         if self.dim == 3:
-            sin_t = jnp.sqrt(value[..., 0] ** 2 + value[..., 1] ** 2) / jnp.maximum(kamp, 1e-30)
+            sin_t = jnp.sqrt(value[..., 0] ** 2 + value[..., 1] ** 2) / jnp.maximum(kamp, DENS_FLOOR_F32)
             ok = inside & (sin_t >= 1.0e-15)
-            dens = 1.0 / jnp.maximum(2 * dk * 2 * jnp.pi * jnp.pi * sin_t * kamp**2, 1e-30)
+            dens = 1.0 / jnp.maximum(2 * dk * 2 * jnp.pi * jnp.pi * sin_t * kamp**2, DENS_FLOOR_F32)
         else:
             ok = inside
-            dens = 1.0 / jnp.maximum(2 * dk * 2 * jnp.pi * kamp, 1e-30)
+            dens = 1.0 / jnp.maximum(2 * dk * 2 * jnp.pi * kamp, DENS_FLOOR_F32)
         return jnp.where(ok, dens, 0.0)
 
     def dev_shift(self, params, key, value, gidx, prob):

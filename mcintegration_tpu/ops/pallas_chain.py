@@ -61,6 +61,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .lookup import level_size, padded_hist_size
+from ..common import TINY_F32
 from .pallas_vegas import _mix32
 
 HIST_EVERY = 8  # histogram subsample period (see module docstring)
@@ -493,7 +494,7 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
 
             r_ratio = prop * new_p / p
             u_acc = draw_u(t)
-            accept = (u_acc < r_ratio) & (prop > 1e-38)
+            accept = (u_acc < r_ratio) & (prop > TINY_F32)
 
             for k in vals:
                 vals[k] = jnp.where(accept, nvals[k], vals[k])

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from ..common import TINY_F32
 from ..ops import ksum
 from ..ops.grid import uniform_open01
 from ..parallel.mesh import distribute_rows, gather_rows
@@ -270,7 +271,7 @@ class VegasMCIteration:
 
             r_ratio = prop * new_p / p
             u_acc = uniform_open01(jax.random.fold_in(key, 2), (W,))
-            accept = (u_acc < r_ratio) & (prop > 1e-38)
+            accept = (u_acc < r_ratio) & (prop > TINY_F32)
 
             pools = [
                 {k2: jnp.where(_b(accept, npv[k2]), npv[k2], opv[k2])
