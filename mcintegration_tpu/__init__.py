@@ -10,6 +10,7 @@ averages — built around vectorized walker batches, counter-based RNG and
 single-collective statistics reduction over a device mesh.
 """
 
+from .common import onehot
 from .configuration import Configuration
 from .main import integrate
 from .models.variable import CompositeVar, Continuous, Discrete, FermiK
@@ -27,6 +28,7 @@ __all__ = [
     "FermiK",
     "Result",
     "integrate",
+    "onehot",
     "report",
     "average",
     "save_state",

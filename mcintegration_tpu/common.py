@@ -40,3 +40,28 @@ MAX_ORDER = 16
 
 def asarray_f64(x):
     return np.asarray(x, dtype=np.float64)
+
+
+def onehot(idx, lo, hi, dtype=None, *, like=None):
+    """Batch-safe one-hot over an inclusive integer range [lo, hi].
+
+    The canonical custom-measure pattern scatters a walker's contribution
+    into an observable bin chosen by a Discrete variable (the reference
+    writes ``obs[ext] += weight``, e.g. test/bubble.jl:63-66).  Written as
+    ``(jnp.arange(lo, hi+1) == ext) * relw`` that only broadcasts when
+    ``ext`` is a per-sample scalar; inside the fused Pallas kernels the
+    measure is evaluated ONCE on batched [S, 128] sample tiles, where the
+    leading bin axis must be prepended instead.  This helper inserts
+    trailing singleton axes to match the batch rank of ``idx`` (or of
+    ``like=relw`` when ``idx`` is a scalar, e.g. the integrand index), so
+    the same measure code is correct per-sample AND batched — and
+    therefore passes the batched-equivalence probe that gates the
+    in-kernel measure path.
+    """
+    import jax.numpy as jnp
+
+    trail = max(jnp.ndim(idx), jnp.ndim(like) if like is not None else 0)
+    rng = jnp.arange(lo, hi + 1)
+    rng = rng.reshape(rng.shape + (1,) * trail)
+    oh = (rng == idx)
+    return oh.astype(dtype) if dtype is not None else oh

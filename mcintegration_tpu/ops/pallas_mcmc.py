@@ -55,6 +55,25 @@ solver exists for).  This kernel fixes both:
 Proposal draws reuse the lattice-roll machinery of ops/pallas_chain.py for
 Continuous pools (power-of-two ninc) and threshold-count CDF inversion for
 Discrete pools (nbin <= 32, probabilities from SMEM scalars — gather-free).
+FermiK pools (the :mcmc-only momentum shell sampler,
+sampler.jl:109-244) run fully in-kernel: values are stored as D separate
+(S,128) component tiles, fresh draws are the shell x angle transform (pure
+VPU math, no gathers), and changeVariable uses the reference's three-way
+scale/rotate/jitter move.  FermiK slots store no probability tile — their
+removal densities are recomputed from the stored value each step
+(fermik_density), exactly as the XLA path recomputes dev_density, so no
+stale-prob bookkeeping exists by construction.
+
+Custom measures (mcmc convention ``measure(idx, var, relw, config)``,
+montecarlo.jl:160-170) are served batched: per-sector measure functions are
+built like ops/pallas_chain.make_measure_batched, proven equivalent to the
+per-sample vmapped evaluation at build time, and evaluated at measured
+steps masked by ``curr == i``.  For the canonical N=1 physics bundles
+(test/bubble.jl shape) that is exactly one batched measure call per
+measured step; for N>1 the measure cost is O(N) per *measured* step while
+integrand evaluation stays O(1) per step (use ``measurefreq`` to amortize
+wide bundles).  Measure-path observables accumulate in VMEM scratch under
+``pl.when(measured)`` so unmeasured steps pay nothing.
 
 Like the reference (sampler.jl:306, createRollback! is a no-op), slots
 freshly created by a rejected changeIntegrand keep their new values: slots
@@ -72,6 +91,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .lookup import level_size, padded_hist_size
+from ..common import DENS_FLOOR_F32, TINY_F32
 from .pallas_vegas import _mix32, build_view
 
 HIST_EVERY = 8    # histogram subsample period (pallas_chain.py docstring)
@@ -80,22 +100,30 @@ MAX_DISCRETE_NBIN = 32
 
 
 def _leaf_kind(leaf):
-    from ..models.variable import Continuous, Discrete
+    from ..models.variable import Continuous, Discrete, FermiK
     if isinstance(leaf, Continuous):
         return "cont"
     if isinstance(leaf, Discrete):
         return "disc"
+    if isinstance(leaf, FermiK):
+        return "fermik"
     return None
 
 
-def mcmc_eligible(spec, *, measure, weight_dtype, S: int = 16) -> bool:
+def _leaf_width(leaf) -> int:
+    """Component tiles per slot value (FermiK: D, scalar leaves: 1)."""
+    return leaf.dim if _leaf_kind(leaf) == "fermik" else 1
+
+
+def mcmc_eligible(spec, *, measure, weight_dtype, obs_proto=None,
+                  S: int = 16) -> bool:
     """Static checks for the fused mcmc kernel (else: XLA scan path)."""
-    if measure is not None:
-        return False
+    from .pallas_chain import MAX_MEASURE_COMPONENTS, obs_components
+
     if weight_dtype != jnp.float32:
         return False
     nd = spec.N + 1
-    if nd > 31:            # adjacency bitmask lives in int32
+    if nd > 62:            # adjacency bitmask lives in two int32 words
         return False
     drawn = [li for li in spec.leaves if li.ndraw > 0]
     if not drawn:
@@ -105,7 +133,7 @@ def mcmc_eligible(spec, *, measure, weight_dtype, S: int = 16) -> bool:
     for li in spec.leaves:
         kind = _leaf_kind(li.leaf)
         if kind is None:
-            return False          # FermiK etc: XLA path
+            return False
         if li.ndraw == 0:
             continue
         if kind == "cont":
@@ -113,20 +141,54 @@ def mcmc_eligible(spec, *, measure, weight_dtype, S: int = 16) -> bool:
             ninc = li.leaf.ninc
             if ninc & (ninc - 1) or w_inst % ninc:
                 return False      # lattice-roll requirement
-        else:
+        elif kind == "disc":
             if li.leaf.nbin > MAX_DISCRETE_NBIN:
                 return False
-    # VMEM working-set bound (cf. pallas_chain.chain_eligible)
+    ncomp = spec.N
+    if measure is not None:
+        ncomp = obs_components(obs_proto)
+        if ncomp > MAX_MEASURE_COMPONENTS:
+            return False          # VMEM accumulator budget
+    # VMEM working-set bound (cf. pallas_chain.chain_eligible): per slot the
+    # loop carries value/proposal/draw component tiles plus gidx/prob pairs.
     n, nvar = spec.N, spec.nvar
-    nslots = sum(li.ndraw for li in drawn)
     tile = S * 128 * 4
-    tiles = 8 * nslots + 2 * n + 2 * nd + nvar + 24
+    slot_tiles = sum(li.ndraw * (3 * _leaf_width(li.leaf) + 6)
+                     for li in drawn)
+    tiles = slot_tiles + 2 * n + ncomp + 2 * nd + nvar + 24
     bases = 2 * N_LATTICE * tile * ncont
     hists = sum(level_size(li.leaf.nhist) ** 2 * 4 for li in drawn
                 if getattr(li.leaf, "adapt", False))
     if tiles * tile + bases + hists > 48 * 1024 * 1024:
         return False
     return True
+
+
+def _probe_leaf_vals(spec, rng):
+    """Random [ndraw(,D), 4, 2] leaf values for equivalence probes."""
+    leaf_vals = []
+    for li in spec.leaves:
+        kind = _leaf_kind(li.leaf)
+        nd_ = max(li.ndraw, 1)
+        if kind == "disc":
+            v = rng.integers(li.leaf.lower, li.leaf.upper + 1, (nd_, 4, 2))
+            leaf_vals.append(jnp.asarray(v, jnp.int32)[: li.ndraw])
+        elif kind == "fermik":
+            D = li.leaf.dim
+            kamp = (li.leaf.kF
+                    + (rng.uniform(size=(nd_, 1, 4, 2)) - 0.5)
+                    * li.leaf.delta_k)
+            dirs = rng.normal(size=(nd_, D, 4, 2))
+            dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+            leaf_vals.append(jnp.asarray(kamp * dirs,
+                                         jnp.float32)[: li.ndraw])
+        else:
+            lo = float(getattr(li.leaf, "lower", 0.0))
+            rg = float(getattr(li.leaf, "range", 1.0))
+            u = rng.uniform(0.05, 0.95, (nd_, 4, 2))
+            leaf_vals.append(jnp.asarray(lo + rg * u,
+                                         jnp.float32)[: li.ndraw])
+    return leaf_vals
 
 
 def make_eval_batched_idx(spec, integrand, weight_dtype) -> List[Callable]:
@@ -143,7 +205,9 @@ def make_eval_batched_idx(spec, integrand, weight_dtype) -> List[Callable]:
     def make(i):
         def _eval(leaf_vals):
             v = _view(leaf_vals)
-            shape = leaf_vals[0].shape[1:]
+            # trailing two axes are the sample tile (leading axes are the
+            # slot axis and, for FermiK, the component axis)
+            shape = leaf_vals[0].shape[-2:]
             w = jnp.asarray(integrand(i, v, uc), weight_dtype)
             return _finite_guard(jnp.broadcast_to(w, shape))
         return _eval
@@ -155,20 +219,7 @@ def validate_batched_idx(spec, evals_b, integrand, weight_dtype) -> bool:
     """Prove batched eval == per-sample eval for every integrand index."""
     try:
         rng = np.random.default_rng(12345)
-        leaf_vals = []
-        for li in spec.leaves:
-            kind = _leaf_kind(li.leaf)
-            nd_ = max(li.ndraw, 1)
-            if kind == "disc":
-                v = rng.integers(li.leaf.lower, li.leaf.upper + 1,
-                                 (nd_, 4, 2))
-                leaf_vals.append(jnp.asarray(v, jnp.int32)[: li.ndraw])
-            else:
-                lo = float(getattr(li.leaf, "lower", 0.0))
-                rg = float(getattr(li.leaf, "range", 1.0))
-                u = rng.uniform(0.05, 0.95, (nd_, 4, 2))
-                leaf_vals.append(jnp.asarray(lo + rg * u,
-                                             jnp.float32)[: li.ndraw])
+        leaf_vals = _probe_leaf_vals(spec, rng)
         for i in range(spec.N):
             wb = evals_b[i](leaf_vals)
             eval_one = spec.make_eval_one(integrand, i, weight_dtype)
@@ -185,15 +236,84 @@ def validate_batched_idx(spec, evals_b, integrand, weight_dtype) -> bool:
         return False
 
 
+def make_measure_batched_idx(spec, measure, weight_dtype, obs_proto):
+    """Per-sector batched measure on [ndraw(,D), S, 128] leaf values.
+
+    mcmc measure convention: ``measure(idx, var, relw, config)`` returning
+    the observable-contribution pytree (mcmc/montecarlo.jl:160-170);
+    ``relw`` is the walker tile ``weight/probability``.  Returns one
+    function per integrand index, mirroring
+    :func:`pallas_chain.make_measure_batched`.
+    """
+    _view = build_view(spec)
+    uc = spec.uconfig
+
+    def make(i):
+        def _m(leaf_vals, relw):
+            v = _view(leaf_vals)
+            tile = relw.shape
+            out = measure(i, v, relw, uc)
+
+            def fix(z, proto):
+                z = jnp.asarray(z, weight_dtype)
+                return jnp.broadcast_to(z, np.shape(proto) + tile)
+
+            return jax.tree_util.tree_map(fix, out, obs_proto)
+
+        return _m
+
+    return [make(i) for i in range(spec.N)]
+
+
+def validate_measure_batched_idx(spec, measure_b, measure,
+                                 obs_proto) -> bool:
+    """Prove batched measure == per-sample vmapped measure per sector."""
+    try:
+        rng = np.random.default_rng(98765)
+        leaf_vals = _probe_leaf_vals(spec, rng)
+        relw = jnp.asarray(rng.uniform(0.1, 1.0, (4, 2)), jnp.float32)
+        uc = spec.uconfig
+        for i in range(spec.N):
+            wb = measure_b[i](leaf_vals, relw)
+
+            def per_sample(vals, rw, i=i):
+                pools = [{"val": v} for v in vals]
+                out = measure(i, spec.view(pools), rw, uc)
+                return jax.tree_util.tree_map(
+                    lambda z, p: jnp.reshape(z, np.shape(p)),
+                    out, obs_proto)
+
+            wv = jax.vmap(jax.vmap(per_sample, in_axes=-1, out_axes=-1),
+                          in_axes=-1, out_axes=-1)(leaf_vals, relw)
+            ok = jax.tree_util.tree_map(
+                lambda a, b: bool(jnp.allclose(
+                    a, jnp.asarray(b, a.dtype), rtol=1e-5, atol=1e-6)),
+                wb, wv)
+            if not all(jax.tree_util.tree_leaves(ok)):
+                return False
+        return True
+    except Exception:
+        return False
+
+
+def _twhere(m, a, b):
+    """jnp.where lifted over per-component value tuples (FermiK slots)."""
+    if isinstance(a, tuple):
+        return tuple(jnp.where(m, x, y) for x, y in zip(a, b))
+    return jnp.where(m, a, b)
+
+
 def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                        wtiles: int, S: int, nsteps: int, nburnin: int,
-                       mf: int, interpret: bool = False):
+                       mf: int, interpret: bool = False,
+                       measure_b=None, obs_proto=None):
     """Return run_all(params, kd [B*wtiles, 2] uint32) with the contract
-    (obs [block, n], norm [block], visited [nd], hists, pc [1,3], ac [1,3],
-    eval_steps [scalar f32]): per-block observable/normalization sums,
-    per-sector visited tallies, per-leaf padded histograms, per-update-kind
-    aggregate proposal/acceptance counts, and the number of steps that ran
-    an integrand evaluation (for honest neval accounting).
+    (obs [block, n] — or the obs_proto pytree with leading [block] when a
+    custom measure is active — norm [block], visited [nd], hists, pc [1,3],
+    ac [1,3], eval_steps [scalar f32]): per-block observable/normalization
+    sums, per-sector visited tallies, per-leaf padded histograms,
+    per-update-kind aggregate proposal/acceptance counts, and the number of
+    steps that ran an integrand evaluation (for honest neval accounting).
     """
     n = spec.N
     nd = n + 1
@@ -203,6 +323,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
     dleaf = [i for i, li in enumerate(leaves) if li.ndraw > 0]
     cleaf = [i for i in dleaf if _leaf_kind(leaves[i].leaf) == "cont"]
     xleaf = [i for i in dleaf if _leaf_kind(leaves[i].leaf) == "disc"]
+    fleaf = [i for i in dleaf if _leaf_kind(leaves[i].leaf) == "fermik"]
     f32 = jnp.float32
     i32 = jnp.int32
     LN = 128
@@ -214,15 +335,23 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                                                 False)]
     Ls = {i: level_size(leaves[i].leaf.nhist) for i in adapt_leaves}
     eligible_groups = [g for g in range(nvar) if spec.maxdof[g] > 0]
+    # flattened observable components (custom measure path)
+    if measure_b is not None:
+        proto_leaves, proto_def = jax.tree_util.tree_flatten(obs_proto)
+        comp_shapes = [np.shape(x) for x in proto_leaves]
+        ncomp = sum(max(int(np.prod(s)), 1) for s in comp_shapes)
+    else:
+        ncomp = n
 
     # static host tables ---------------------------------------------------
     deg_np = np.asarray([len(a) for a in spec.cfg.neighbor], np.float32)
-    adjb_np = np.zeros((nd,), np.int32)
+    # adjacency bitmask: 31 sector bits per int32 word (sign bit unused)
+    nwords = 1 if nd <= 31 else 2
+    adjb_np = np.zeros((nd, nwords), np.int32)
     for i, adj in enumerate(spec.cfg.neighbor):
-        m = 0
         for j in adj:
-            m |= (1 << int(j))
-        adjb_np[i] = m
+            w, bit = divmod(int(j), 31)
+            adjb_np[i, w] |= (1 << bit)
     dof_np = np.asarray(spec.cfg.dof, np.int32)          # [nd, nvar]
 
     def kernel(kd_ref, rw_ref, deg_ref, adjb_ref, dof_ref, *refs):
@@ -242,7 +371,11 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         (obs_ref, norm_ref, vis_ref, pc_ref, ac_ref, ev_ref) = refs[o:o + 6]
         o += 6
         hist_refs = {lidx: refs[o + k] for k, lidx in enumerate(adapt_leaves)}
-        neww_ref = refs[-1]       # scratch
+        if measure_b is not None:
+            neww_ref, mobs_ref = refs[-2], refs[-1]   # scratch
+        else:
+            neww_ref = refs[-1]   # scratch
+            mobs_ref = None
 
         b = pl.program_id(0)
         wt = pl.program_id(1)
@@ -311,11 +444,90 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             bq = pltpu.roll(pltpu.roll(x, q + 1, 0), m, 1)
             return jnp.where(lane >= m, a, bq)
 
+        def fermik_density(lidx, value):
+            """Shell density of a stored momentum (FermiK.dev_density,
+            sampler.jl:157-186): 0 outside |K| in (kF-dk, kF+dk)."""
+            leaf = leaves[lidx].leaf
+            kF, dk = float(leaf.kF), float(leaf.delta_k)
+            k2 = value[0] * value[0]
+            for c in value[1:]:
+                k2 = k2 + c * c
+            kamp = jnp.sqrt(k2)
+            inside = (kamp > kF - dk) & (kamp < kF + dk)
+            if leaf.dim == 3:
+                rho = jnp.sqrt(value[0] ** 2 + value[1] ** 2)
+                sin_t = rho / jnp.maximum(kamp, f32(DENS_FLOOR_F32))
+                ok = inside & (sin_t >= 1.0e-15)
+                jac = (4 * np.pi * np.pi * dk) * sin_t * kamp * kamp
+            else:
+                ok = inside
+                jac = (4 * np.pi * dk) * kamp
+            dens = 1.0 / jnp.maximum(jac, f32(DENS_FLOOR_F32))
+            return jnp.where(ok, dens, 0.0)
+
+        def fermik_shift(lidx, t, value):
+            """Three-way CV move: radial scale / re-orientation / jitter
+            (FermiK.dev_shift, sampler.jl:196-244).  Returns
+            (new_value tuple, proposal-factor tile)."""
+            leaf = leaves[lidx].leaf
+            dk = float(leaf.delta_k)
+            lam = 1.5
+            sel = draw_u(t)
+            u1 = draw_u(t)
+            # branch 1: radial scale by ratio in [1/lam, lam]
+            ratio = f32(1.0 / lam) + u1 * f32(lam - 1.0 / lam)
+            v_scale = tuple(c * ratio for c in value)
+            # branch 2: uniform re-orientation at fixed |K|
+            k2 = value[0] * value[0]
+            for c in value[1:]:
+                k2 = k2 + c * c
+            kamp = jnp.sqrt(k2)
+            phi = u1 * f32(2.0 * np.pi)
+            if leaf.dim == 3:
+                u2 = draw_u(t)
+                ct = jnp.clip(1.0 - 2.0 * u2, -1.0, 1.0)
+                st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+                v_rot = (kamp * jnp.cos(phi) * st,
+                         kamp * jnp.sin(phi) * st, kamp * ct)
+                prop_scale = ratio
+            else:
+                v_rot = (kamp * jnp.cos(phi), kamp * jnp.sin(phi))
+                prop_scale = jnp.ones_like(ratio)
+            # branch 3: per-component jitter
+            v_jit = tuple(c + (draw_u(t) - 0.5) * dk for c in value)
+            b1 = sel < f32(1.0 / 3.0)
+            b2 = (~b1) & (sel < f32(2.0 / 3.0))
+            nv = tuple(jnp.where(b1, a, jnp.where(b2, b, c))
+                       for a, b, c in zip(v_scale, v_rot, v_jit))
+            prop = jnp.where(b1, prop_scale, 1.0)
+            return nv, prop
+
         def draw_leaf(lidx, t):
             """Fresh map draw: lattice-roll (Continuous, pallas_chain.py
-            item 1) or threshold-count CDF inversion (Discrete).
+            item 1), threshold-count CDF inversion (Discrete), or shell x
+            angle transform (FermiK, sampler.jl:109-145).
             Returns (value, gidx, prob)."""
             li = leaves[lidx]
+            if lidx in fleaf:
+                leaf = li.leaf
+                kF, dk = float(leaf.kF), float(leaf.delta_k)
+                u0 = draw_u(t)
+                u1 = draw_u(t)
+                kamp = f32(kF) + (u0 - 0.5) * f32(2.0 * dk)
+                phi = u1 * f32(2.0 * np.pi)
+                if leaf.dim == 3:
+                    u2 = draw_u(t)
+                    theta = u2 * f32(np.pi)
+                    st, ct = jnp.sin(theta), jnp.cos(theta)
+                    value = (kamp * jnp.cos(phi) * st,
+                             kamp * jnp.sin(phi) * st, kamp * ct)
+                    jac = (4 * np.pi * np.pi * dk) * st * kamp * kamp
+                else:
+                    value = (kamp * jnp.cos(phi), kamp * jnp.sin(phi))
+                    jac = (4 * np.pi * dk) * kamp
+                prob = jnp.where(kamp <= 0.0, 0.0,
+                                 1.0 / jnp.maximum(jac, f32(DENS_FLOOR_F32)))
+                return value, jnp.zeros((S, LN), i32), prob
             if lidx in cleaf:
                 ninc = li.leaf.ninc
                 kidx = cleaf.index(lidx)
@@ -367,12 +579,18 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         def eval_leaf_vals(vals):
             leaf_vals = []
             for lidx, li in enumerate(leaves):
-                if li.ndraw > 0:
+                wid = _leaf_width(li.leaf)
+                if li.ndraw > 0 and wid > 1:
+                    leaf_vals.append(jnp.stack(
+                        [jnp.stack(list(vals[(lidx, s)]), axis=0)
+                         for s in range(li.ndraw)], axis=0))
+                elif li.ndraw > 0:
                     leaf_vals.append(jnp.stack(
                         [vals[(lidx, s)] for s in range(li.ndraw)], axis=0))
                 else:
                     dt = i32 if lidx in xleaf else f32
-                    leaf_vals.append(jnp.zeros((0, S, LN), dt))
+                    shape = (0, wid, S, LN) if wid > 1 else (0, S, LN)
+                    leaf_vals.append(jnp.zeros(shape, dt))
             return leaf_vals
 
         def eval_sector(jt, vals):
@@ -388,14 +606,17 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             return neww_ref[:, :]
 
         # ---- initialize!: fresh draw, start in integrand 0, retry x10 ----
-        # (montecarlo.jl:76, 103-113)
+        # (montecarlo.jl:76, 103-113).  FermiK slots store no prob: their
+        # removal densities are recomputed from the stored value each step
+        # (fermik_density), mirroring the XLA path's dev_density use.
         vals, gidxs, probs = {}, {}, {}
         for lidx in dleaf:
             for slot in range(leaves[lidx].ndraw):
                 x, iy, pr = draw_leaf(lidx, jnp.int32(0))
                 vals[(lidx, slot)] = x
                 gidxs[(lidx, slot)] = iy
-                probs[(lidx, slot)] = pr
+                if lidx not in fleaf:
+                    probs[(lidx, slot)] = pr
         w0 = evals_b[0](eval_leaf_vals(vals))
         r0 = rw_ref[0]
         weight = w0
@@ -403,17 +624,18 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
 
         def retry(rt, st):
             vals, gidxs, probs, weight, prob_reg = st
-            bad = prob_reg <= 1e-38
+            bad = prob_reg <= TINY_F32
             nv = dict(vals)
             ng = dict(gidxs)
             npr = dict(probs)
             for lidx in dleaf:
                 for slot in range(leaves[lidx].ndraw):
                     x, iy, pr = draw_leaf(lidx, rt + 1)
-                    nv[(lidx, slot)] = jnp.where(bad, x, vals[(lidx, slot)])
+                    nv[(lidx, slot)] = _twhere(bad, x, vals[(lidx, slot)])
                     ng[(lidx, slot)] = jnp.where(bad, iy, gidxs[(lidx, slot)])
-                    npr[(lidx, slot)] = jnp.where(bad, pr,
-                                                  probs[(lidx, slot)])
+                    if lidx not in fleaf:
+                        npr[(lidx, slot)] = jnp.where(bad, pr,
+                                                      probs[(lidx, slot)])
             w2 = evals_b[0](eval_leaf_vals(nv))
             weight = jnp.where(bad, w2, weight)
             prob_reg = jnp.abs(weight) * r0
@@ -429,6 +651,8 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         # result) is unfoldable and keeps every carry in natural layout.
         zero = weight * 0.0
         zeroi = zero.astype(i32)
+        if measure_b is not None:
+            mobs_ref[...] = jnp.zeros((ncomp, S, LN), f32)
         carry = dict(
             vals=vals, gidxs=gidxs, probs=probs,
             weight=weight, prob=prob_reg,
@@ -437,9 +661,10 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             invr=zero + 1.0 / r0,
             degc=zero + deg_ref[0],
             picv=zero + 1.0 / (deg_ref[0] * float(C)),
-            adjb=zeroi + adjb_ref[0],
+            adjb=[zeroi + adjb_ref[0, w] for w in range(nwords)],
             dof=[zeroi + dof_ref[0, g] for g in range(nvar)],
-            obs=[zero] * n, nrm=zero, vis=[zero] * nd,
+            obs=([zero] * n if measure_b is None else []),
+            nrm=zero, vis=[zero] * nd,
             pc=[zero] * 3, ac=[zero] * 3,
             evcnt=jnp.float32(0.0),
         )
@@ -479,15 +704,19 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                 else False                        # P(swap)=1/(2nvar+1)
             r_jt = rw_ref[jt]
             deg_jt = deg_ref[jt]
-            adjb_jt = adjb_ref[jt]
+            adjb_jt = [adjb_ref[jt, w] for w in range(nwords)]
             dof_jt = [dof_ref[jt, g] for g in range(nvar)]
 
             # ---- fresh draws per (leaf, slot position) ----
             draws = {}
+            shifts = {}
             for g in eligible_groups:
                 for lidx in spec.group_leaves[g]:
                     for s in range(spec.maxdof[g]):
                         draws[(lidx, s)] = draw_leaf(lidx, t)
+                        if lidx in fleaf:
+                            shifts[(lidx, s)] = fermik_shift(
+                                lidx, t, vals[(lidx, s)])
 
             # ---- role masks (mutually exclusive per walker) ----
             # ONE uniform drives both jump coins via disjoint intervals:
@@ -501,13 +730,20 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             # (1-q_w) thinning of in-sector CV/swap cancels forward vs
             # reverse (same sector).  picv is a per-walker register
             # (picv = 1/(deg_curr*C)), updated only on accepted jumps.
-            adjn = ((adjb >> norm) & 1) == 1          # adjacent to norm
+            nw, nb = divmod(norm, 31)                 # static word/bit
+            adjn = ((adjb[nw] >> nb) & 1) == 1        # adjacent to norm
             qw = jnp.where(adjn, picv * float(1.0 / n), 0.0)
             u_role = draw_u(t)
             norm_prop = adjn & (u_role < qw)
 
             at_jt = (curr == jt) & (u_role >= qw)
-            is_adj = ((adjb >> jt) & 1) == 1
+            if nwords == 1:
+                is_adj = ((adjb[0] >> jt) & 1) == 1
+            else:                                     # jt is a traced scalar
+                jl = jnp.minimum(jt, 30)
+                jh = jnp.maximum(jt - 31, 0)
+                is_adj = jnp.where(jt < 31, (adjb[0] >> jl) & 1,
+                                   (adjb[1] >> jh) & 1) == 1
             ci_prop = is_adj & (u_role >= qw) & (u_role < qw + picv)
 
             # CV/swap var-type and slot choices (updates.jl:72-147)
@@ -547,6 +783,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                 dof_jt_g = dof_jt[g]
                 sel_g = True if vi is None else (vi == g)
                 for lidx in spec.group_leaves[g]:
+                    isf = lidx in fleaf
                     # per-walker gathered swap values (masked O(md) select)
                     if any_swap and md > 1:
                         sw1v = sw2v = None
@@ -554,55 +791,80 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                         for s in range(md):
                             h1 = (idx1 == s)
                             h2 = (idx2 == s)
-                            v, gi_, pr_ = (vals[(lidx, s)],
-                                           gidxs[(lidx, s)],
-                                           probs[(lidx, s)])
-                            sw1v = v if sw1v is None else jnp.where(h1, v, sw1v)
-                            sw2v = v if sw2v is None else jnp.where(h2, v, sw2v)
+                            v, gi_ = vals[(lidx, s)], gidxs[(lidx, s)]
+                            sw1v = v if sw1v is None else _twhere(h1, v, sw1v)
+                            sw2v = v if sw2v is None else _twhere(h2, v, sw2v)
                             sw1g = gi_ if sw1g is None else jnp.where(h1, gi_, sw1g)
                             sw2g = gi_ if sw2g is None else jnp.where(h2, gi_, sw2g)
-                            sw1p = pr_ if sw1p is None else jnp.where(h1, pr_, sw1p)
-                            sw2p = pr_ if sw2p is None else jnp.where(h2, pr_, sw2p)
+                            if not isf:
+                                pr_ = probs[(lidx, s)]
+                                sw1p = pr_ if sw1p is None else jnp.where(h1, pr_, sw1p)
+                                sw2p = pr_ if sw2p is None else jnp.where(h2, pr_, sw2p)
                     for s in range(md):
                         key = (lidx, s)
                         x, iy, pr = draws[key]
                         created = ci_prop & (s >= dof[g]) & (s < dof_jt_g)
                         removed = ci_prop & (s >= dof_jt_g) & (s < dof[g])
-                        nv, ngi, npr_ = vals[key], gidxs[key], probs[key]
-                        # changeVariable: fresh redraw, prop q_old/q_new
+                        nv, ngi = vals[key], gidxs[key]
+                        # removal density: stored prob (cont/disc grid
+                        # invariant) or recomputed shell density (FermiK,
+                        # matching solvers/mcmc.py's dev_density use)
+                        old_dens = (fermik_density(lidx, vals[key]) if isf
+                                    else probs[key])
                         hit_cv = active_cv & sel_g & (idx1 == s)
-                        nv = jnp.where(hit_cv, x, nv)
-                        ngi = jnp.where(hit_cv, iy, ngi)
-                        npr_ = jnp.where(hit_cv, pr, npr_)
-                        prop_cv = jnp.where(
-                            hit_cv, prop_cv * (probs[key] / pr), prop_cv)
+                        if isf:
+                            # changeVariable: three-way local shift
+                            sv, sprop = shifts[key]
+                            nv = _twhere(hit_cv, sv, nv)
+                            prop_cv = jnp.where(hit_cv, prop_cv * sprop,
+                                                prop_cv)
+                            npr_ = None
+                        else:
+                            # changeVariable: fresh redraw, prop q_old/q_new
+                            nv = jnp.where(hit_cv, x, nv)
+                            ngi = jnp.where(hit_cv, iy, ngi)
+                            npr_ = jnp.where(hit_cv, pr, probs[key])
+                            prop_cv = jnp.where(
+                                hit_cv, prop_cv * (probs[key] / pr), prop_cv)
                         if any_swap and md > 1:
                             # swapVariable: exchange slots idx1 <-> idx2
                             hit_s1 = active_sw & sel_g & (idx1 == s)
                             hit_s2 = active_sw & sel_g & (idx2 == s)
-                            nv = jnp.where(hit_s1, sw2v,
-                                           jnp.where(hit_s2, sw1v, nv))
+                            nv = _twhere(hit_s1, sw2v,
+                                         _twhere(hit_s2, sw1v, nv))
                             ngi = jnp.where(hit_s1, sw2g,
                                             jnp.where(hit_s2, sw1g, ngi))
-                            npr_ = jnp.where(hit_s1, sw2p,
-                                             jnp.where(hit_s2, sw1p, npr_))
+                            if not isf:
+                                npr_ = jnp.where(hit_s1, sw2p,
+                                                 jnp.where(hit_s2, sw1p, npr_))
                             hit_sw = hit_s1 | hit_s2
                         else:
                             hit_sw = None
                         # changeIntegrand create/remove (updates.jl:15-26)
-                        nv = jnp.where(created, x, nv)
+                        nv = _twhere(created, x, nv)
                         ngi = jnp.where(created, iy, ngi)
-                        npr_ = jnp.where(created, pr, npr_)
-                        prop_ci = jnp.where(created, prop_ci / pr, prop_ci)
-                        prop_ci = jnp.where(removed, prop_ci * probs[key],
+                        if isf:
+                            # fresh shell draws can be rejected (prob 0)
+                            prop_ci = jnp.where(
+                                created,
+                                jnp.where(pr > 0.0,
+                                          prop_ci / jnp.maximum(pr, TINY_F32),
+                                          0.0),
+                                prop_ci)
+                        else:
+                            npr_ = jnp.where(created, pr, npr_)
+                            prop_ci = jnp.where(created, prop_ci / pr,
+                                                prop_ci)
+                        prop_ci = jnp.where(removed, prop_ci * old_dens,
                                             prop_ci)
                         # jump INTO norm removes every slot of curr's dof
                         removed_nj = norm_prop & (s < dof[g])
                         prop_nj = jnp.where(removed_nj,
-                                            prop_nj * probs[key], prop_nj)
+                                            prop_nj * old_dens, prop_nj)
                         nvals[key] = nv
                         ngidxs[key] = ngi
-                        nprobs[key] = npr_
+                        if not isf:
+                            nprobs[key] = npr_
                         # slots created by CI commit even on reject
                         # (sampler.jl:306: createRollback! is a no-op)
                         commit[key] = (hit_cv, hit_sw, created)
@@ -611,7 +873,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             new_w = eval_sector(jt, nvals)
 
             # ---- acceptance ----
-            p_old = jnp.maximum(prob_reg, 1e-38)
+            p_old = jnp.maximum(prob_reg, TINY_F32)
             p_new_mv = jnp.abs(new_w) * rcur            # CV/swap: curr==jt
             p_new_ci = jnp.abs(new_w) * r_jt
             r_norm = rw_ref[norm]
@@ -624,14 +886,14 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             ratio_nj = prop_nj * (degc / deg_ref[norm]) * r_norm / p_old
             u_acc = draw_u(t)
             ratio_cv = prop_cv * p_new_mv / p_old
-            acc_cv = active_cv & (u_acc < ratio_cv) & (prop_cv > 1e-38)
+            acc_cv = active_cv & (u_acc < ratio_cv) & (prop_cv > TINY_F32)
             acc_mv = acc_cv
             if any_swap:
                 acc_sw = active_sw & (u_acc < p_new_mv / p_old)
                 acc_mv = acc_cv | acc_sw
             else:
                 acc_sw = None
-            acc_ci = ci_prop & (u_acc < ratio_ci) & (prop_ci > 1e-38)
+            acc_ci = ci_prop & (u_acc < ratio_ci) & (prop_ci > TINY_F32)
             acc_nj = norm_prop & (u_acc < ratio_nj)
 
             # ---- commit ----
@@ -645,9 +907,10 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                     take = (acc_sw & hit_sw) | take
                 if take is None:
                     continue
-                vals[key] = jnp.where(take, nvals[key], vals[key])
+                vals[key] = _twhere(take, nvals[key], vals[key])
                 gidxs[key] = jnp.where(take, ngidxs[key], gidxs[key])
-                probs[key] = jnp.where(take, nprobs[key], probs[key])
+                if key in probs:
+                    probs[key] = jnp.where(take, nprobs[key], probs[key])
             weight = jnp.where(acc_mv | acc_ci, new_w,
                                jnp.where(acc_nj, 0.0, weight))
             prob_reg = jnp.where(acc_mv, p_new_mv,
@@ -664,8 +927,9 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                              jnp.where(acc_nj,
                                        1.0 / (deg_ref[norm] * float(C)),
                                        picv))
-            adjb = jnp.where(acc_ci, adjb_jt,
-                             jnp.where(acc_nj, adjb_ref[norm], adjb))
+            adjb = [jnp.where(acc_ci, adjb_jt[w],
+                              jnp.where(acc_nj, adjb_ref[norm, w], adjb[w]))
+                    for w in range(nwords)]
             for g in range(nvar):
                 dof[g] = jnp.where(acc_ci, dof_jt[g],
                                    jnp.where(acc_nj, 0, dof[g]))
@@ -685,12 +949,38 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             measured = (t >= nburnin) & (((t - nburnin) % mf) == 0)
             mw = jnp.where(measured, 1.0, 0.0).astype(f32)
             in_norm = (curr == norm)
-            # weight/probability = sign(weight)/reweight[curr]
-            # (montecarlo.jl:160-170); norm walkers have weight 0 -> sign 0
-            contrib = jnp.sign(weight) * invr * mw
             obs = list(carry["obs"])
-            for i in range(n):
-                obs[i] = obs[i] + jnp.where(curr == i, contrib, 0.0)
+            if measure_b is None:
+                # weight/probability = sign(weight)/reweight[curr]
+                # (montecarlo.jl:160-170); norm walkers: weight 0 -> sign 0
+                contrib = jnp.sign(weight) * invr * mw
+                for i in range(n):
+                    obs[i] = obs[i] + jnp.where(curr == i, contrib, 0.0)
+            else:
+                # custom measure: batched per-sector eval masked by
+                # curr == i, accumulated in VMEM scratch only at measured
+                # steps (`measured` is a scalar: untaken bodies are free)
+                @pl.when(measured)
+                def _():
+                    ok = (~in_norm) & (prob_reg > TINY_F32)
+                    relw = jnp.where(
+                        ok, weight / jnp.where(ok, prob_reg, 1.0), 0.0)
+                    leaf_vals = eval_leaf_vals(vals)
+                    for i in range(n):
+                        sel = (curr == i)
+                        ct = measure_b[i](leaf_vals, relw)
+                        k = 0
+                        for leafv, shape in zip(
+                                jax.tree_util.tree_leaves(ct), comp_shapes):
+                            if shape == ():
+                                mobs_ref[k, :, :] += jnp.where(sel, leafv,
+                                                               0.0)
+                                k += 1
+                            else:
+                                for idxs in np.ndindex(shape):
+                                    mobs_ref[k, :, :] += jnp.where(
+                                        sel, leafv[idxs], 0.0)
+                                    k += 1
             nrm = carry["nrm"] + jnp.where(in_norm, 1.0 / rw_ref[norm],
                                            0.0) * mw
 
@@ -723,7 +1013,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
 
         @pl.when(wt == 0)
         def _():
-            for i in range(n):
+            for i in range(ncomp):
                 obs_ref[b, i] = 0.0
             norm_ref[b, 0] = 0.0
 
@@ -736,8 +1026,12 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                 ac_ref[0, k] = 0.0
             ev_ref[0, 0] = 0.0
 
-        for i in range(n):
-            obs_ref[b, i] += red(carry["obs"][i])
+        if measure_b is None:
+            for i in range(ncomp):
+                obs_ref[b, i] += red(carry["obs"][i])
+        else:
+            for i in range(ncomp):
+                obs_ref[b, i] += red(mobs_ref[i, :, :])
         norm_ref[b, 0] += red(carry["nrm"])
         for i in range(nd):
             vis_ref[0, i] += red(carry["vis"][i])
@@ -789,7 +1083,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
 
         rw = params["reweight"].astype(jnp.float32)
-        out_shape = ([jax.ShapeDtypeStruct((B, n), f32),
+        out_shape = ([jax.ShapeDtypeStruct((B, ncomp), f32),
                       jax.ShapeDtypeStruct((B, 1), f32),
                       jax.ShapeDtypeStruct((1, nd), f32),
                       jax.ShapeDtypeStruct((1, 3), f32),
@@ -801,6 +1095,9 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                      + [pl.BlockSpec((Ls[l], Ls[l]), lambda bb, tt: (0, 0),
                                      memory_space=pltpu.VMEM)
                         for l in adapt_leaves])
+        scratch = [pltpu.VMEM((S, LN), f32)]
+        if measure_b is not None:
+            scratch.append(pltpu.VMEM((ncomp, S, LN), f32))
 
         outs = pl.pallas_call(
             kernel,
@@ -808,7 +1105,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             in_specs=in_specs,
             out_shape=out_shape,
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((S, LN), f32)],
+            scratch_shapes=scratch,
             interpret=pltpu.InterpretParams() if interpret else False,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -816,6 +1113,14 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
           jnp.asarray(dof_np), *ins)
 
         obs_b = outs[0]
+        if measure_b is not None:
+            # rebuild the observable pytree with leading [block] axis
+            cols, k = [], 0
+            for shape in comp_shapes:
+                m = max(int(np.prod(shape)), 1)
+                cols.append(obs_b[:, k:k + m].reshape((B,) + shape))
+                k += m
+            obs_b = jax.tree_util.tree_unflatten(proto_def, cols)
         norm_b = outs[1][:, 0]
         visited = outs[2][0]
         pc = outs[3][0]

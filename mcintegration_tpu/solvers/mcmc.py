@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from ..common import TINY_F32
 from ..ops import ksum
 from ..ops.grid import uniform_open01
 from ..parallel.mesh import distribute_rows, gather_rows
@@ -80,9 +81,17 @@ class MCMCIteration:
             interp = devs[0].platform == "cpu"
             if ((backend == "pallas" or not interp)
                     and pallas_mcmc.mcmc_eligible(
-                        spec, measure=measure, weight_dtype=weight_dtype)):
+                        spec, measure=measure, weight_dtype=weight_dtype,
+                        obs_proto=obs_proto)):
                 evals_b = pallas_mcmc.make_eval_batched_idx(
                     spec, integrand, weight_dtype)
+                measure_b = None
+                meas_ok = True
+                if measure is not None:
+                    measure_b = pallas_mcmc.make_measure_batched_idx(
+                        spec, measure, weight_dtype, obs_proto)
+                    meas_ok = pallas_mcmc.validate_measure_batched_idx(
+                        spec, measure_b, measure, obs_proto)
                 S = 0
                 for cand in (16, 8):
                     if block * cand * 128 > W:
@@ -110,7 +119,7 @@ class MCMCIteration:
                         wtiles = max(1, W // (block * S * 128))
                 else:
                     wtiles = 0
-                if wtiles > 0 and pallas_mcmc.validate_batched_idx(
+                if wtiles > 0 and meas_ok and pallas_mcmc.validate_batched_idx(
                         spec, evals_b, integrand, weight_dtype):
                     Wg = block * wtiles * S * 128 * ndev
                     self.nwalkers = Wg
@@ -122,7 +131,8 @@ class MCMCIteration:
                     run_all_pallas = pallas_mcmc.build_mcmc_run_all(
                         spec, evals_b, block=block, wtiles=wtiles, S=S,
                         nsteps=self.nsteps, nburnin=nburnin,
-                        mf=measurefreq, interpret=interp)
+                        mf=measurefreq, interpret=interp,
+                        measure_b=measure_b, obs_proto=obs_proto)
                     self.backend = "pallas"
                     rows_local = block * wtiles
 
@@ -241,7 +251,7 @@ class MCMCIteration:
                         params_ref[0]["leaf"][lidx], pool["val"], pool["gidx"])
                     # prop *= prod(create)  * prod(remove)   (updates.jl:15-26)
                     prop = prop * jnp.prod(
-                        jnp.where(created, 1.0 / jnp.maximum(npb, 1e-38), 1.0), axis=1)
+                        jnp.where(created, 1.0 / jnp.maximum(npb, TINY_F32), 1.0), axis=1)
                     prop = prop * jnp.where(
                         jnp.any(created & (npb <= 0.0), axis=1), 0.0, 1.0)
                     prop = prop * jnp.prod(
@@ -260,9 +270,9 @@ class MCMCIteration:
                 new == norm,
                 params_ref[0]["reweight"][norm],
                 jnp.abs(new_weight) * take_rows(params_ref[0]["reweight"], new))
-            ratio = prop * new_prob / jnp.maximum(prob, 1e-38)
+            ratio = prop * new_prob / jnp.maximum(prob, TINY_F32)
             u_acc = uniform_open01(jax.random.fold_in(key, 1), (W,))
-            acc = (u_acc < ratio) & (prop > 1e-38)
+            acc = (u_acc < ratio) & (prop > TINY_F32)
 
             # created slots keep their fresh values even on reject (see module
             # docstring); curr/weight/probability commit on accept only.
@@ -313,9 +323,9 @@ class MCMCIteration:
 
             new_weight = eval_all(new_pools, curr)
             new_prob = jnp.abs(new_weight) * take_rows(params_ref[0]["reweight"], curr)
-            ratio = prop * new_prob / jnp.maximum(prob, 1e-38)
+            ratio = prop * new_prob / jnp.maximum(prob, TINY_F32)
             u_acc = uniform_open01(jax.random.fold_in(key, 1), (W,))
-            acc = active & (u_acc < ratio) & (prop > 1e-38)
+            acc = active & (u_acc < ratio) & (prop > TINY_F32)
 
             pools2 = [
                 {k2: jnp.where(_bmask(acc, npv[k2]), npv[k2], opv[k2]) for k2 in opv}
@@ -360,7 +370,7 @@ class MCMCIteration:
 
             new_weight = eval_all(new_pools, curr)
             new_prob = jnp.abs(new_weight) * take_rows(params_ref[0]["reweight"], curr)
-            ratio = new_prob / jnp.maximum(prob, 1e-38)
+            ratio = new_prob / jnp.maximum(prob, TINY_F32)
             u_acc = uniform_open01(jax.random.fold_in(key, 1), (W,))
             acc = active & (u_acc < ratio)
 
@@ -413,7 +423,7 @@ class MCMCIteration:
             mw = measured.astype(jnp.float32)
 
             in_norm = (curr == norm)
-            ok = (~in_norm) & (prob > 1e-38)
+            ok = (~in_norm) & (prob > TINY_F32)
             relw = jnp.where(ok, weight / jnp.where(ok, prob, 1.0).astype(weight.dtype), 0)
             contrib = jax.vmap(measure_contrib)(pools, jnp.minimum(curr, n - 1), relw)
             contrib = jax.tree_util.tree_map(
@@ -452,7 +462,7 @@ class MCMCIteration:
             # (montecarlo.jl:103-113, 10 retries batched)
             def retry(i, st):
                 pools, weight, prob = st
-                bad = prob <= 1e-38
+                bad = prob <= TINY_F32
                 k = jax.random.fold_in(init_key, i + 1)
                 fresh = spec.draw_all(params, k, (W,))
                 pools = [

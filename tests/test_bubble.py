@@ -68,15 +68,15 @@ def integrand(vars, c):
 
 
 def measure(vars, relw, c):
+    from mcintegration_tpu import onehot
     ext = vars[-1]
-    onehot = (jnp.arange(1, QSIZE + 1) == ext[0]).astype(relw[0].dtype)
-    return [onehot * relw[0]]
+    return [onehot(ext[0], 1, QSIZE, relw[0].dtype) * relw[0]]
 
 
 def measure_i(idx, vars, relw, c):
+    from mcintegration_tpu import onehot
     ext = vars[-1]
-    onehot = (jnp.arange(1, QSIZE + 1) == ext[0]).astype(relw.dtype)
-    return [onehot * relw]
+    return [onehot(ext[0], 1, QSIZE, relw.dtype) * relw]
 
 
 def run_bubble(steps, alg, ratio):

@@ -376,28 +376,139 @@ def test_mcmc_pallas_fallbacks():
     from mcintegration_tpu.models.variable import FermiK
     from mcintegration_tpu.solvers.mcmc import MCMCIteration
 
-    # FermiK -> xla
+    # FermiK is served in-kernel since round 3 (shell x angle draws)
     cfg = Configuration(var=(Continuous(0.0, 1.0), FermiK(3, 1.0, 0.2, 10.0)),
                         dof=[[1, 1]], seed=1)
     it = MCMCIteration(Spec(cfg), lambda i, x, c: 1.0, block=2,
                        nevalperblock=2 ** 19, backend="pallas", nwalkers=2048)
-    assert it.backend == "xla"
+    assert it.backend == "pallas"
 
-    # custom measure -> xla
+    # broadcast-safe custom measures are served in-kernel since round 3
+    from mcintegration_tpu import onehot
+
     cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1,
                         obs=[np.zeros(3)])
     it = MCMCIteration(Spec(cfg),
-                       lambda i, x, c: 1.0, measure=lambda i, x, w, c: [w],
+                       lambda i, x, c: 1.0,
+                       measure=lambda i, x, w, c: [
+                           onehot(i, 0, 2, w.dtype, like=w) * w],
+                       obs_proto=[np.zeros(3)], block=2,
+                       nevalperblock=2 ** 19, backend="pallas", nwalkers=2048)
+    assert it.backend == "pallas"
+
+    # a measure that fails the batched-equivalence probe -> xla
+    def bad_measure(i, x, w, c):
+        # silently collapses the sample axes: NOT per-sample equivalent
+        return [jnp.full((3,), jnp.sum(w))]
+
+    it = MCMCIteration(Spec(cfg),
+                       lambda i, x, c: 1.0, measure=bad_measure,
                        obs_proto=[np.zeros(3)], block=2,
                        nevalperblock=2 ** 19, backend="pallas", nwalkers=2048)
     assert it.backend == "xla"
 
-    # short chains (auto walker budget, tiny neval) -> xla
+    # complex weights -> xla (kernel accumulators are float32)
     cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1)
+    it = MCMCIteration(Spec(cfg), lambda i, x, c: 1.0 + 0j, block=2,
+                       nevalperblock=2 ** 19, backend="pallas",
+                       nwalkers=2048, weight_dtype=jnp.complex64)
+    assert it.backend == "xla"
+
+    # short chains (auto walker budget, tiny neval) -> xla
     it = MCMCIteration(Spec(cfg),
                        lambda i, x, c: 1.0, block=2, nevalperblock=2 ** 12,
                        backend="auto")
     assert it.backend == "xla"
+
+
+def test_mcmc_pallas_fermik_statistical():
+    """FermiK shell sampling in-kernel: k^2 over the 3-D Fermi shell times
+    exp(-tau), checked against quadrature and against the XLA path."""
+    from mcintegration_tpu.models.variable import FermiK
+
+    kF, dk = 1.0, 0.2
+
+    def f(i, x, c):
+        K, T = x
+        k2 = K[0][0] ** 2 + K[0][1] ** 2 + K[0][2] ** 2
+        k = jnp.sqrt(k2)
+        inside = (k > kF - dk) & (k < kF + dk)
+        return jnp.where(inside, k2 * jnp.exp(-T[0]), 0.0)
+
+    # int_{kF-dk}^{kF+dk} 4 pi k^4 dk * (1 - 1/e)
+    exact = (4 * np.pi / 5 * ((kF + dk) ** 5 - (kF - dk) ** 5)
+             * (1 - np.exp(-1.0)))
+    res = {}
+    for be in ("xla", "pallas"):
+        spec, it = _mk_mcmc(f, dof=[[1, 1]], seed=21, neval=1_000_000,
+                            backend=be,
+                            var=(FermiK(3, kF, dk, 10.0),
+                                 Continuous(0.0, 1.0, ninc=128)))
+        assert it.backend == be
+        st = it.run(spec.device_params(), jax.random.key(6))
+        m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+        res[be] = (m.mean(), m.std(ddof=1) / np.sqrt(len(m)))
+    for be, (mean, err) in res.items():
+        assert abs(mean - exact) < 10 * max(err, 5e-3), (be, mean, err, exact)
+
+
+def test_mcmc_pallas_fermik_2d_statistical():
+    """2-D FermiK (no polar angle): shell area element is 2 pi k dk."""
+    from mcintegration_tpu.models.variable import FermiK
+
+    kF, dk = 1.0, 0.3
+
+    def f(i, x, c):
+        K = x
+        k2 = K[0][0] ** 2 + K[0][1] ** 2
+        k = jnp.sqrt(k2)
+        inside = (k > kF - dk) & (k < kF + dk)
+        return jnp.where(inside, k2, 0.0)
+
+    # int 2 pi k^3 dk over the shell
+    exact = 2 * np.pi / 4 * ((kF + dk) ** 4 - (kF - dk) ** 4)
+    spec, it = _mk_mcmc(f, dof=[[1]], seed=23, neval=800_000,
+                        var=FermiK(2, kF, dk, 10.0))
+    assert it.backend == "pallas"
+    st = it.run(spec.device_params(), jax.random.key(8))
+    m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+    err = m.std(ddof=1) / np.sqrt(len(m))
+    assert abs(m.mean() - exact) < 10 * max(err, 5e-3), (m.mean(), err, exact)
+
+
+def test_mcmc_pallas_measure_statistical():
+    """Custom vector measure in-kernel: one-hot scatter by a Discrete
+    external index (the bubble.jl observable shape), vs the XLA path."""
+    from mcintegration_tpu.models.variable import Discrete as D
+
+    def f(i, x, c):
+        t, d = x
+        return t[0] * d[0]
+
+    from mcintegration_tpu import onehot
+
+    def meas(i, x, w, c):
+        t, d = x
+        return [onehot(d[0], 1, 4, w.dtype) * w]
+
+    res = {}
+    for be in ("xla", "pallas"):
+        spec, it = _mk_mcmc(f, dof=[[1, 1]], seed=31, neval=1_200_000,
+                            backend=be, measure=meas,
+                            obs_proto=[np.zeros(4)],
+                            var=(Continuous(0.0, 1.0, ninc=128), D(1, 4)))
+        assert it.backend == be
+        st = it.run(spec.device_params(), jax.random.key(12))
+        ob = np.asarray(st["obs_blocks"][0])    # [block, 4]
+        nb = np.asarray(st["norm_blocks"])[:, None]
+        m = ob / nb
+        res[be] = (m.mean(axis=0), m.std(axis=0, ddof=1) / np.sqrt(len(m)))
+    # integral of t*d per external bin d: d/2
+    exact = np.arange(1, 5) / 2.0
+    for be, (mean, err) in res.items():
+        for k in range(4):
+            assert abs(mean[k] - exact[k]) < 10 * max(err[k], 2e-2), (
+                be, k, mean[k], err[k], exact[k])
 
 
 def test_mcmc_pallas_sharded_over_mesh():
