@@ -97,6 +97,12 @@ from .pallas_vegas import _mix32, build_view
 HIST_EVERY = 8    # histogram subsample period (pallas_chain.py docstring)
 N_LATTICE = 8     # precomputed multiplier lattices per leaf (decorrelation)
 MAX_DISCRETE_NBIN = 32
+TALLY_EVERY = 8   # propose/accept pair-table subsample period: the full
+                  # (kind, sector, target) tables are DIAGNOSTIC statistics
+                  # (configuration.jl:345-465); sampling every 8th step and
+                  # scaling by 8 keeps their expectation exact while the
+                  # per-step reduction cost drops 8x (ratios converge over
+                  # millions of steps; the XLA path stays exact-count)
 
 
 def _leaf_kind(leaf):
@@ -309,11 +315,13 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                        measure_b=None, obs_proto=None):
     """Return run_all(params, kd [B*wtiles, 2] uint32) with the contract
     (obs [block, n] — or the obs_proto pytree with leading [block] when a
-    custom measure is active — norm [block], visited [nd], hists, pc [1,3],
-    ac [1,3], eval_steps [scalar f32]): per-block observable/normalization
-    sums, per-sector visited tallies, per-leaf padded histograms,
-    per-update-kind aggregate proposal/acceptance counts, and the number of
-    steps that ran an integrand evaluation (for honest neval accounting).
+    custom measure is active — norm [block], visited [nd], hists,
+    pc [3, nd, ncol], ac [3, nd, ncol], eval_steps [scalar f32]): per-block
+    observable/normalization sums, per-sector visited tallies, per-leaf
+    padded histograms, FULL per-(kind, sector, target) proposal/acceptance
+    tables (configuration.jl:345-465 layout, subsampled — see TALLY_EVERY),
+    and the number of steps that ran an integrand evaluation (for honest
+    neval accounting).
     """
     n = spec.N
     nd = n + 1
@@ -335,6 +343,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                                                 False)]
     Ls = {i: level_size(leaves[i].leaf.nhist) for i in adapt_leaves}
     eligible_groups = [g for g in range(nvar) if spec.maxdof[g] > 0]
+    ncol_t = max(nd, nvar)        # tally-table column count (solver nmax)
     # flattened observable components (custom measure path)
     if measure_b is not None:
         proto_leaves, proto_def = jax.tree_util.tree_flatten(obs_proto)
@@ -368,7 +377,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         cdfr, distr = {}, {}
         for lidx in xleaf:
             cdfr[lidx] = refs[o]; distr[lidx] = refs[o + 1]; o += 2
-        (obs_ref, norm_ref, vis_ref, pc_ref, ac_ref, ev_ref) = refs[o:o + 6]
+        (obs_ref, norm_ref, vis_ref, pcf_ref, acf_ref, ev_ref) = refs[o:o + 6]
         o += 6
         hist_refs = {lidx: refs[o + k] for k, lidx in enumerate(adapt_leaves)}
         if measure_b is not None:
@@ -386,6 +395,12 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             for lidx in adapt_leaves:
                 L = Ls[lidx]
                 hist_refs[lidx][:, :] = jnp.zeros((L, L), f32)
+            # propose/accept pair tables accumulate in SMEM during the
+            # step loop: zero them before the first instance's loop runs
+            for r in range(3 * nd):
+                for c in range(ncol_t):
+                    pcf_ref[r, c] = 0.0
+                    acf_ref[r, c] = 0.0
 
         # ---- per-instance RNG (cf. pallas_chain.py) ----
         if not interpret:
@@ -665,7 +680,6 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             dof=[zeroi + dof_ref[0, g] for g in range(nvar)],
             obs=([zero] * n if measure_b is None else []),
             nrm=zero, vis=[zero] * nd,
-            pc=[zero] * 3, ac=[zero] * 3,
             evcnt=jnp.float32(0.0),
         )
 
@@ -896,6 +910,33 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             acc_ci = ci_prop & (u_acc < ratio_ci) & (prop_ci > TINY_F32)
             acc_nj = norm_prop & (u_acc < ratio_nj)
 
+            # ---- full (kind, sector, target) tallies, subsampled ----
+            # (configuration.jl:345-465; curr is still pre-commit here.)
+            # CI targets the step's scalar sector jt (or norm), CV/swap
+            # happen only at curr == jt, so one masked reduction per source
+            # sector covers the whole pair table.
+            @pl.when((t % TALLY_EVERY) == 0)
+            def _():
+                def sred(m):
+                    return jnp.sum(jnp.sum(
+                        m.astype(f32), axis=1, keepdims=True)) \
+                        * float(TALLY_EVERY)
+
+                for i in range(nd):
+                    seli = (curr == i)
+                    pcf_ref[0 * nd + i, jt] += sred(ci_prop & seli)
+                    acf_ref[0 * nd + i, jt] += sred(acc_ci & seli)
+                    if i != norm:
+                        pcf_ref[0 * nd + i, norm] += sred(norm_prop & seli)
+                        acf_ref[0 * nd + i, norm] += sred(acc_nj & seli)
+                for g in range(nvar):
+                    selg = True if vi is None else (vi == g)
+                    pcf_ref[1 * nd + jt, g] += sred(active_cv & selg)
+                    acf_ref[1 * nd + jt, g] += sred(acc_cv & selg)
+                    if any_swap:
+                        pcf_ref[2 * nd + jt, g] += sred(active_sw & selg)
+                        acf_ref[2 * nd + jt, g] += sred(acc_sw & selg)
+
             # ---- commit ----
             for key in vals:
                 hit_cv, hit_sw, created = commit.get(
@@ -933,17 +974,6 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             for g in range(nvar):
                 dof[g] = jnp.where(acc_ci, dof_jt[g],
                                    jnp.where(acc_nj, 0, dof[g]))
-
-            # ---- aggregate tallies per update kind ----
-            pc = list(carry["pc"])
-            ac = list(carry["ac"])
-            pc[0] = pc[0] + ci_prop.astype(f32) + norm_prop.astype(f32)
-            ac[0] = ac[0] + acc_ci.astype(f32) + acc_nj.astype(f32)
-            pc[1] = pc[1] + active_cv.astype(f32)
-            ac[1] = ac[1] + acc_cv.astype(f32)
-            if any_swap:
-                pc[2] = pc[2] + active_sw.astype(f32)
-                ac[2] = ac[2] + acc_sw.astype(f32)
 
             # ---- measurement (montecarlo.jl:145-170) ----
             measured = (t >= nburnin) & (((t - nburnin) % mf) == 0)
@@ -1001,7 +1031,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                         weight=weight, prob=prob_reg, curr=curr,
                         rcur=rcur, invr=invr, degc=degc, picv=picv,
                         adjb=adjb, dof=dof,
-                        obs=obs, nrm=nrm, vis=vis, pc=pc, ac=ac,
+                        obs=obs, nrm=nrm, vis=vis,
                         evcnt=evcnt)
 
         carry = jax.lax.fori_loop(0, ntot, step, carry)
@@ -1021,9 +1051,6 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         def _():
             for i in range(nd):
                 vis_ref[0, i] = 0.0
-            for k in range(3):
-                pc_ref[0, k] = 0.0
-                ac_ref[0, k] = 0.0
             ev_ref[0, 0] = 0.0
 
         if measure_b is None:
@@ -1035,9 +1062,6 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         norm_ref[b, 0] += red(carry["nrm"])
         for i in range(nd):
             vis_ref[0, i] += red(carry["vis"][i])
-        for k in range(3):
-            pc_ref[0, k] += red(carry["pc"][k])
-            ac_ref[0, k] += red(carry["ac"][k])
         # eval-step count only (x NF on the host: f32 stays exact —
         # per-instance step counts are < 2^24)
         ev_ref[0, 0] += carry["evcnt"]
@@ -1086,8 +1110,8 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         out_shape = ([jax.ShapeDtypeStruct((B, ncomp), f32),
                       jax.ShapeDtypeStruct((B, 1), f32),
                       jax.ShapeDtypeStruct((1, nd), f32),
-                      jax.ShapeDtypeStruct((1, 3), f32),
-                      jax.ShapeDtypeStruct((1, 3), f32),
+                      jax.ShapeDtypeStruct((3 * nd, ncol_t), f32),
+                      jax.ShapeDtypeStruct((3 * nd, ncol_t), f32),
                       jax.ShapeDtypeStruct((1, 1), f32)]
                      + [jax.ShapeDtypeStruct((Ls[l], Ls[l]), f32)
                         for l in adapt_leaves])
@@ -1123,8 +1147,8 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             obs_b = jax.tree_util.tree_unflatten(proto_def, cols)
         norm_b = outs[1][:, 0]
         visited = outs[2][0]
-        pc = outs[3][0]
-        ac = outs[4][0]
+        pc = outs[3].reshape(3, nd, ncol_t)
+        ac = outs[4].reshape(3, nd, ncol_t)
         evals = outs[5][0, 0] * float(NF)
         hist_out = {l: h for l, h in zip(adapt_leaves, outs[6:])}
         hists = []

@@ -538,15 +538,10 @@ class MCMCIteration:
             obs_b = decode_complex_numpy(
                 jax.tree_util.tree_map(gather_rows, obs_b))
             norm_b = gather_rows(norm_b).astype(np.float64)
-            # reduced tallies: per-update-kind aggregates only (the fused
-            # kernel does not attribute per (sector, target) pairs)
-            propose = np.zeros((3, nd, nmax))
-            accept = np.zeros((3, nd, nmax))
-            pc = np.asarray(pc, dtype=np.float64)
-            ac = np.asarray(ac, dtype=np.float64)
-            for k in range(3):
-                propose[k, 0, 0] = pc[k]
-                accept[k, 0, 0] = ac[k]
+            # full per-(kind, sector, target) tables, same layout as the
+            # XLA path (subsampled estimates — ops/pallas_mcmc.TALLY_EVERY)
+            propose = np.asarray(pc, dtype=np.float64)
+            accept = np.asarray(ac, dtype=np.float64)
             return {
                 "obs_blocks": obs_b,
                 "norm_blocks": norm_b,

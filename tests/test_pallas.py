@@ -421,6 +421,30 @@ def test_mcmc_pallas_fallbacks():
     assert it.backend == "xla"
 
 
+def test_mcmc_pallas_full_tally_tables():
+    """The fused kernel reports the same per-(kind, sector, target)
+    propose/accept tables as the XLA path (configuration.jl:345-465):
+    same shape, same occupied cells, acceptance ratios within a few %."""
+    out = {}
+    for be in ("xla", "pallas"):
+        spec, it = _mk_mcmc(
+            lambda i, x, c: jnp.where(x[0] ** 2 + x[1] ** 2 < 1, 1.0, 0.0),
+            dof=[[2]], seed=5, neval=1_000_000, backend=be)
+        assert it.backend == be
+        out[be] = it.run(spec.device_params(), jax.random.key(3))
+    px, ax_ = out["xla"]["propose"], out["xla"]["accept"]
+    pp, ap = out["pallas"]["propose"], out["pallas"]["accept"]
+    assert px.shape == pp.shape and ax_.shape == ap.shape
+    # same sparsity pattern (which (kind, sector, target) cells are active)
+    thresh = 1.0
+    assert np.array_equal(px > thresh, pp > thresh), (px, pp)
+    # acceptance ratios agree cell-by-cell where proposals happened
+    rx = ax_ / np.maximum(px, 1e-9)
+    rp = ap / np.maximum(pp, 1e-9)
+    mask = px > 100
+    assert np.all(np.abs(rx[mask] - rp[mask]) < 0.05), (rx, rp)
+
+
 def test_mcmc_pallas_fermik_statistical():
     """FermiK shell sampling in-kernel: k^2 over the 3-D Fermi shell times
     exp(-tau), checked against quadrature and against the XLA path."""
