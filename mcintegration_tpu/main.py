@@ -143,18 +143,14 @@ def integrate(integrand: Callable, *,
                         str(solver).lstrip(":"), weight_dtype)
 
     solver = str(solver).lstrip(":")
-    if backend == "pallas" and solver in ("vegas+", "vegasplus"):
-        import sys
-        sys.stderr.write(yellow(
-            f"backend='pallas' requested but solver {solver!r} has no "
-            "fused Pallas path; running the XLA pipeline.\n"))
     if solver in ("vegas+", "vegasplus"):
         from .solvers.vegasplus import VegasPlusIteration
         solver = "vegas"  # downstream (reweight/train) semantics are :vegas
         it_kernel = VegasPlusIteration(
             spec, integrand, measure=measure, inplace=inplace,
             measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
-            mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable)
+            mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable,
+            backend=backend)
     elif solver == "vegas":
         it_kernel = VegasIteration(
             spec, integrand, measure=measure, inplace=inplace,

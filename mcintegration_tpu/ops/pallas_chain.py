@@ -175,7 +175,6 @@ def validate_measure_batched(spec, measure_b, measure, obs_proto) -> bool:
                                              jnp.float32)[: li.ndraw])
         relw = jnp.asarray(rng.uniform(0.1, 1.0, (spec.N, 4, 2)),
                            jnp.float32)
-        wb = measure_b(leaf_vals, [relw[i] for i in range(spec.N)])
         uc = spec.uconfig
 
         def per_sample(vals, rw_col):
@@ -187,12 +186,19 @@ def validate_measure_batched(spec, measure_b, measure, obs_proto) -> bool:
             return jax.tree_util.tree_map(
                 lambda z, p: jnp.reshape(z, np.shape(p)), out, obs_proto)
 
-        wv = jax.vmap(jax.vmap(per_sample, in_axes=-1, out_axes=-1),
-                      in_axes=-1, out_axes=-1)(leaf_vals, relw)
-        ok = jax.tree_util.tree_map(
-            lambda a, b: bool(jnp.allclose(a, jnp.asarray(b, a.dtype),
-                                           rtol=1e-5, atol=1e-6)), wb, wv)
-        return all(jax.tree_util.tree_leaves(ok))
+        # one jitted program: eager ops are compile+dispatch round-trips
+        # each on a remote TPU runtime (cf. pallas_vegas.validate_batched)
+        @jax.jit
+        def probe(leaf_vals, relw):
+            wb = measure_b(leaf_vals, [relw[i] for i in range(spec.N)])
+            wv = jax.vmap(jax.vmap(per_sample, in_axes=-1, out_axes=-1),
+                          in_axes=-1, out_axes=-1)(leaf_vals, relw)
+            ok = jax.tree_util.tree_map(
+                lambda a, b: jnp.allclose(a, jnp.asarray(b, a.dtype),
+                                          rtol=1e-5, atol=1e-6), wb, wv)
+            return jnp.all(jnp.stack(jax.tree_util.tree_leaves(ok)))
+
+        return bool(probe(leaf_vals, relw))
     except Exception:
         return False
 

@@ -160,9 +160,11 @@ def make_eval_batched(spec, integrand, inplace, weight_dtype):
 def validate_batched(spec, eval_batched, eval_fn) -> bool:
     """Prove batched eval == per-sample vmapped eval on random points.
 
-    Eagerly evaluates both on a tiny in-domain batch; any numerical mismatch
+    Evaluates both on a tiny in-domain batch; any numerical mismatch
     (i.e. an integrand that is NOT elementwise across samples) disables the
-    Pallas fast path.
+    Pallas fast path.  The whole probe is ONE jitted program: on a remote
+    TPU runtime every eager op would otherwise be its own compile+dispatch
+    round-trip (measured ~12 s of build time through the axon tunnel).
     """
     try:
         from ..models.variable import Discrete
@@ -179,14 +181,18 @@ def validate_batched(spec, eval_batched, eval_fn) -> bool:
             rg = float(getattr(li.leaf, "range", 1.0))
             u = rng.uniform(0.05, 0.95, (li.ndraw, 4, 2))
             leaf_vals.append(jnp.asarray(lo + rg * u, jnp.float32))
-        wb = jnp.stack(eval_batched(leaf_vals))
 
         def per_sample(vals):
             return eval_fn([{"val": v} for v in vals])
 
-        wv = jax.vmap(jax.vmap(per_sample, in_axes=-1, out_axes=-1),
-                      in_axes=-1, out_axes=-1)(leaf_vals)
-        return bool(jnp.allclose(wb, wv, rtol=1e-5, atol=1e-6))
+        @jax.jit
+        def probe(leaf_vals):
+            wb = jnp.stack(eval_batched(leaf_vals))
+            wv = jax.vmap(jax.vmap(per_sample, in_axes=-1, out_axes=-1),
+                          in_axes=-1, out_axes=-1)(leaf_vals)
+            return jnp.allclose(wb, wv, rtol=1e-5, atol=1e-6)
+
+        return bool(probe(leaf_vals))
     except Exception:
         return False
 

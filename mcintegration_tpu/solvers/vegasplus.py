@@ -65,7 +65,8 @@ class VegasPlusIteration:
     def __init__(self, spec: Spec, integrand: Callable, *, measure=None,
                  inplace=False, measurefreq=1, block=16, nevalperblock=10000,
                  mesh=None, max_chunk=131072, weight_dtype=jnp.float32,
-                 obs_proto=None, nstrat=None, max_cubes=16384, beta=0.75):
+                 obs_proto=None, nstrat=None, max_cubes=16384, beta=0.75,
+                 backend="auto"):
         self.spec = spec
         self.block = block
         self.mesh = mesh
@@ -76,6 +77,15 @@ class VegasPlusIteration:
                 raise NotImplementedError(
                     ":vegasplus supports Continuous and Discrete pools; "
                     "FermiK is :mcmc-only (test/bubble_FermiK.jl:2)")
+
+        # ---- fused Pallas fast path (ops/pallas_vplus.py) ----
+        self.backend = "xla"
+        if backend in ("auto", "pallas") and nstrat is None:
+            if self._try_build_pallas(integrand, measure, inplace,
+                                      measurefreq, block, nevalperblock,
+                                      mesh, weight_dtype, max_cubes,
+                                      force=(backend == "pallas")):
+                return
 
         # stratification dimensions: one per Continuous (leaf, slot);
         # Discrete slots are non-stratified passengers drawn iid from
@@ -325,6 +335,176 @@ class VegasPlusIteration:
             self._fn = jax.jit(run_all)
 
     # ------------------------------------------------------------------
+    def _try_build_pallas(self, integrand, measure, inplace, measurefreq,
+                          block, nevalperblock, mesh, weight_dtype,
+                          max_cubes, force=False) -> bool:
+        """Build the fused vegas+ kernel (ops/pallas_vplus.py) if eligible.
+
+        Lanes-are-cubes layout: Neyman reallocation moves lanes between
+        cubes; per-iteration [R, NL] grid-segment tables are rebuilt on the
+        host from the trained float64 grids and the lane->cube map.
+        """
+        from ..ops import pallas_vegas, pallas_vplus
+
+        spec = self.spec
+        devs = (np.asarray(mesh.devices).ravel() if mesh is not None
+                else jax.devices())
+        interp = devs[0].platform == "cpu"
+        ndev = 1
+        if mesh is not None:
+            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        if block % ndev != 0:
+            return False
+        plan = pallas_vplus.vplus_eligible(
+            spec, measure=measure, measurefreq=measurefreq,
+            weight_dtype=weight_dtype, nevalperblock=int(nevalperblock),
+            max_cubes=max_cubes)
+        # on CPU the kernel runs under the (slow) TPU interpreter: take it
+        # only when explicitly requested (tests) — mirrors solvers/vegas.py
+        if plan is None or (interp and not force):
+            return False
+        eval_b = pallas_vegas.make_eval_batched(
+            spec, integrand, inplace, weight_dtype)
+        eval_probe = spec.make_eval(integrand, inplace, weight_dtype)
+        if not pallas_vegas.validate_batched(spec, eval_b, eval_probe):
+            return False
+
+        self._plan = plan
+        self.nstrat = plan["nstrat"]
+        self.ncubes = plan["ncubes"]
+        self.nevalperblock = plan["NL"] * plan["spp"]
+        self.lanes = self._uniform_lanes()
+        B_local = block // ndev
+        run_all = pallas_vplus.build_vplus_run_all(
+            spec, plan, eval_b, block=B_local, interpret=interp)
+
+        if ndev > 1:
+            axis = mesh.axis_names[0]
+
+            def sharded(cube_of_lane, invlf, coarse_tabs, kd):
+                def local(cube_of_lane, invlf, coarse_tabs, kd):
+                    obs_b, sig, hists = run_all(cube_of_lane, invlf,
+                                                coarse_tabs, kd)
+                    sig = jax.lax.psum(sig, axis)
+                    hists = [jax.lax.psum(h, axis) for h in hists]
+                    return obs_b, sig, hists
+
+                return jax.shard_map(
+                    local, mesh=mesh, in_specs=(P(), P(), P(), P(axis)),
+                    out_specs=(P(axis), P(), P()),
+                    check_vma=False)(cube_of_lane, invlf, coarse_tabs, kd)
+
+            self.raw_fn = sharded
+            self._fn = jax.jit(sharded)
+        else:
+            self.raw_fn = run_all
+            self._fn = jax.jit(run_all)
+        self._ndev = ndev
+        self.backend = "pallas"
+        return True
+
+    def _uniform_lanes(self) -> np.ndarray:
+        NL, nc = self._plan["NL"], self.ncubes
+        base = NL // nc
+        lanes = np.full(nc, base, dtype=np.int64)
+        lanes[: NL - base * nc] += 1
+        return lanes
+
+    def _build_tables(self):
+        """Host-side per-iteration inputs for the fused kernel: the
+        lane->cube map, the per-lane density factor NL/(lanes*ncubes),
+        and per-dim packed coarse (grid_eff, inc_eff) tables (the float64
+        grid exactly coarsened to ninc_eff by subsampling).  The big
+        [R_PAD, NL] grid-segment tables are gathered on DEVICE inside
+        run_all (pallas_vplus.py) to keep the per-iteration upload ~1 MB.
+        """
+        from ..ops.lookup import pack_table
+
+        plan = self._plan
+        NL, nstrat = plan["NL"], plan["nstrat"]
+        cube_of_lane = np.repeat(np.arange(self.ncubes), self.lanes)
+        assert cube_of_lane.shape[0] == NL
+        self._cube_of_lane = cube_of_lane
+        self._coords = [(cube_of_lane // (nstrat ** d)) % nstrat
+                        for d in range(plan["D"])]
+        invlf = (float(NL) / (self.lanes[cube_of_lane] * self.ncubes))
+        coarse_tabs = []
+        for d, (lidx, slot) in enumerate(plan["dims"]):
+            leaf = self.spec.leaves[lidx].leaf
+            k = leaf.ninc // plan["ninc_effs"][d]
+            grid_eff = leaf.grid[::k]
+            tab = np.stack([grid_eff[:-1], np.diff(grid_eff)], axis=1)
+            coarse_tabs.append(jnp.asarray(pack_table(tab, pad_value=1.0),
+                                           jnp.float32))
+        return (jnp.asarray(cube_of_lane, jnp.int32),
+                jnp.asarray(invlf.reshape(1, NL), jnp.float32),
+                coarse_tabs)
+
+    def _reallocate_lanes(self, sig_flat: np.ndarray):
+        """Neyman lane reallocation (Lepage 2021 Eq.(24), lane units)."""
+        plan = self._plan
+        NL = plan["NL"]
+        acc = np.bincount(self._cube_of_lane, weights=sig_flat,
+                          minlength=self.ncubes)
+        # undo the kernel-side inv_lfac^2 (see pallas_vplus.py docstring)
+        acc *= (self.lanes * self.ncubes / float(NL)) ** 2
+        n_c = self.lanes * plan["spp"] * self.block
+        d = np.sqrt(np.maximum(acc / np.maximum(n_c, 1), 0.0))
+        if d.sum() <= 0 or not np.all(np.isfinite(d)):
+            return
+        d = (d / d.sum()) ** self.beta
+        d /= d.sum()
+        lanes = np.maximum(1, np.floor(d * NL).astype(np.int64))
+        excess = lanes.sum() - NL
+        if excess > 0:
+            order = np.argsort(-lanes)
+            for i in order:
+                take = min(lanes[i] - 1, excess)
+                lanes[i] -= take
+                excess -= take
+                if excess <= 0:
+                    break
+        elif excess < 0:
+            lanes[np.argmax(lanes)] += -excess
+        if lanes.sum() == NL:
+            self.lanes = lanes
+
+    def _run_pallas(self, key):
+        plan = self._plan
+        cube_of_lane, invlf, coarse_tabs = self._build_tables()
+        kd = np.asarray(jax.random.key_data(jax.random.split(key, self.block)))
+        kd = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
+        obs_b, sig, hists_d = self._fn(cube_of_lane, invlf, coarse_tabs, kd)
+        obs_b = np.asarray(gather_rows(obs_b), dtype=np.float64)
+        sig_flat = np.asarray(sig, dtype=np.float64).reshape(-1)
+
+        # fold the per-(dim, j, lane) histograms to per-leaf bin histograms
+        hists = [np.zeros(li.nhist) for li in self.spec.leaves]
+        adapt_dims = [d for d, (lidx, _) in enumerate(plan["dims"])
+                      if getattr(self.spec.leaves[lidx].leaf, "adapt", False)]
+        for hd, d in zip(hists_d, adapt_dims):
+            lidx, _ = plan["dims"][d]
+            R = plan["Rs"][d]
+            ninc_eff = plan["ninc_effs"][d]
+            k = self.spec.leaves[lidx].leaf.ninc // ninc_eff
+            h = np.asarray(hd, dtype=np.float64)  # [R_PAD, NL]
+            heff = np.zeros(ninc_eff)
+            coords = self._coords[d]
+            for r in range(R):
+                heff += np.bincount(coords * R + r, weights=h[r],
+                                    minlength=ninc_eff)
+            hists[lidx] += np.repeat(heff / k, k)
+
+        self._reallocate_lanes(sig_flat)
+        norm_b = np.full(self.block, float(plan["NL"] * plan["spp"]))
+        return {
+            "obs_blocks": obs_b,
+            "norm_blocks": norm_b,
+            "hists": hists,
+            "neval": self.block * self.nevalperblock,
+        }
+
+    # ------------------------------------------------------------------
     def _uniform_counts(self) -> np.ndarray:
         base = self.chunk // self.ncubes
         counts = np.full(self.ncubes, base, dtype=np.int64)
@@ -356,6 +536,8 @@ class VegasPlusIteration:
             self.counts = counts
 
     def run(self, params, key):
+        if self.backend == "pallas":
+            return self._run_pallas(key)
         params = dict(params)
         params["counts"] = jnp.asarray(self.counts, jnp.int32)
         kd = np.asarray(jax.random.key_data(jax.random.split(key, self.block)))

@@ -90,6 +90,90 @@ def test_discrete_passenger():
     check(res, 2.5)
 
 
+# ---- fused Pallas fast path (round 3, ops/pallas_vplus.py) ----
+# backend="pallas" on CPU runs the kernel under the TPU interpreter with
+# the counter-hash RNG — every kernel line except hardware PRNG.
+
+
+def test_pallas_pi4():
+    res = integrate(lambda x, c: jnp.where(x[0] ** 2 + x[1] ** 2 < 1.0, 1.0, 0.0),
+                    var=Continuous(0.0, 1.0), dof=[[2]], neval=1e5, niter=5,
+                    solver="vegasplus", verbose=-2, seed=21, backend="pallas")
+    check(res, np.pi / 4)
+
+
+def test_pallas_singular_matches_xla():
+    """The D=1 singular anchor (R=1, lanes subsume the map) vs exact."""
+    def f(x, c):
+        return jnp.log(x[0]) / jnp.sqrt(x[0])
+
+    res = integrate(f, var=Continuous(0.0, 1.0), dof=[[1]], neval=1e5,
+                    niter=6, solver="vegasplus", verbose=-2, seed=22,
+                    backend="pallas")
+    check(res, -4.0)
+
+
+def test_pallas_padding_multi_dof():
+    """dof < maxdof through the fused kernel's padding algebra."""
+    def f(x, c):
+        return x[0], jnp.where(x[0] ** 2 + x[1] ** 2 < 1.0, 1.0, 0.0)
+
+    res = integrate(f, var=Continuous(0.0, 1.0), dof=[[1], [2]], neval=1e5,
+                    niter=5, solver="vegasplus", verbose=-2, seed=23,
+                    backend="pallas")
+    check(res, [0.5, np.pi / 4])
+
+
+def test_pallas_lane_reallocation():
+    """Neyman reallocation moves lanes toward the peaked region."""
+    from mcintegration_tpu.configuration import Configuration
+    from mcintegration_tpu.solvers.engine import Spec
+    from mcintegration_tpu.solvers.vegasplus import VegasPlusIteration
+    import jax
+
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=31)
+    spec = Spec(cfg)
+    it = VegasPlusIteration(
+        spec, lambda x, c: jnp.exp(-50 * ((x[0] - 0.3) ** 2 + (x[1] - 0.7) ** 2)),
+        block=4, nevalperblock=40000, backend="pallas")
+    assert it.backend == "pallas"
+    params = spec.device_params()
+    l0 = it.lanes.copy()
+    it.run(params, jax.random.key(0))
+    assert it.lanes.sum() == l0.sum()
+    assert not np.array_equal(it.lanes, l0), "lanes should adapt"
+    assert it.lanes.min() >= 1 and it.lanes.max() > it.lanes.min()
+
+
+def test_pallas_fallbacks():
+    """Specs the fused kernel cannot serve run the XLA pipeline."""
+    from mcintegration_tpu.configuration import Configuration
+    from mcintegration_tpu.solvers.engine import Spec
+    from mcintegration_tpu.solvers.vegasplus import VegasPlusIteration
+
+    def build(var, dof, **kw):
+        cfg = Configuration(var=var, dof=dof, seed=5, **kw)
+        return Configuration, Spec(cfg)
+
+    # Discrete passenger -> XLA
+    _, spec = build((Continuous(0.0, 1.0), Discrete(1, 4)), [[2, 1]])
+    it = VegasPlusIteration(spec, lambda x, c: x[0][0], block=4,
+                            nevalperblock=40000, backend="pallas")
+    assert it.backend == "xla"
+    # custom measure -> XLA
+    _, spec = build(Continuous(0.0, 1.0), [[2]])
+    it = VegasPlusIteration(spec, lambda x, c: x[0], block=4,
+                            nevalperblock=40000, backend="pallas",
+                            measure=lambda v, rw, c: rw,
+                            obs_proto=np.zeros(1, np.float32))
+    assert it.backend == "xla"
+    # budget too small for any stratification (8 * 2^D > nevalperblock)
+    _, spec = build(Continuous(0.0, 1.0), [[2]])
+    it = VegasPlusIteration(spec, lambda x, c: x[0], block=4,
+                            nevalperblock=16, backend="pallas")
+    assert it.backend == "xla"
+
+
 def test_discrete_passenger_with_padding():
     """Both round-2 features at once: the first integrand ignores the
     Discrete slot and one Continuous slot."""
