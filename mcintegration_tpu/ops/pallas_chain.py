@@ -84,9 +84,13 @@ def chain_eligible(spec, *, measure, weight_dtype, obs_proto=None,
     """Static checks for the fused chain kernel (else: XLA scan path)."""
     from ..models.variable import Continuous, Discrete
 
-    # the kernel's VMEM accumulators and fori_loop carry are float32; any
-    # other weight dtype would promote the carry mid-loop (hard trace error)
-    if weight_dtype != jnp.float32:
+    # the kernel's VMEM accumulators and fori_loop carry are float32;
+    # complex64 weights run as (re, im) f32 pairs via ops/realify.py
+    # (default measure only — custom complex measures take the XLA path)
+    if weight_dtype == jnp.complex64:
+        if measure is not None:
+            return False
+    elif weight_dtype != jnp.float32:
         return False
     drawn = [li for li in spec.leaves if li.ndraw > 0]
     if not drawn:
@@ -103,19 +107,21 @@ def chain_eligible(spec, *, measure, weight_dtype, obs_proto=None,
                 return False
         else:
             return False                         # FermiK etc: XLA path
-    ncomp = spec.N
+    cplx = weight_dtype == jnp.complex64
+    ncomp = spec.N * (2 if cplx else 1)
     if measure is not None:
         ncomp = obs_components(obs_proto)
         if ncomp > MAX_MEASURE_COMPONENTS:
             return False                         # VMEM accumulator budget
     # VMEM working-set bound: per-walker-tile f32 arrays (slot state ×2 for
-    # the proposal copies, weights/pads ×2, accumulators) + the stacked
-    # lattice bases + histograms must fit the per-core budget with headroom
-    # for Mosaic temporaries.
+    # the proposal copies, weights/pads ×2 — ×4 for complex pairs,
+    # accumulators) + the stacked lattice bases + histograms must fit the
+    # per-core budget with headroom for Mosaic temporaries.
     n, nd, nvar = spec.N, spec.N + 1, spec.nvar
     nslots = sum(li.ndraw for li in drawn)
     tile = S * 128 * 4
-    tiles = 6 * nslots + 2 * n + ncomp + 3 * nd + 2 * nvar + 10
+    tiles = (6 * nslots + (4 if cplx else 2) * n + ncomp + 3 * nd
+             + 2 * nvar + 10)
     bases = sum(2 * N_LATTICE * tile for li in drawn
                 if isinstance(li.leaf, Continuous))
     hists = sum(level_size(li.leaf.nhist) ** 2 * 4 for li in drawn
@@ -206,7 +212,8 @@ def validate_measure_batched(spec, measure_b, measure, obs_proto) -> bool:
 def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
                         wtiles: int, S: int, nsteps: int, mf: int,
                         interpret: bool = False, measure_batched=None,
-                        obs_proto=None, warmup: int | None = None):
+                        obs_proto=None, warmup: int | None = None,
+                        cplx: bool = False):
     """Return run_all(params, kd [B*wtiles, 2] uint32) with the
     VegasMCIteration.run_all output contract:
     (obs [block, n] — or the obs_proto pytree with leading [block] when a
@@ -243,7 +250,37 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
         comp_shapes = [np.shape(x) for x in proto_leaves]
         ncomp = sum(max(int(np.prod(s)), 1) for s in comp_shapes)
     else:
-        ncomp = n
+        # complex weights run as (re, im) pairs: component 2i = Re w_i,
+        # component 2i+1 = Im w_i (reference treats re/im as independent
+        # channels, src/statistics.jl:24-55)
+        ncomp = 2 * n if cplx else n
+    assert not (cplx and measure_batched is not None)
+
+    # weight algebra over scalars (real) or (re, im) pairs (complex)
+    if cplx:
+        def wabs(w):
+            return jnp.sqrt(w[0] * w[0] + w[1] * w[1])
+
+        def wabs2(w):
+            return w[0] * w[0] + w[1] * w[1]
+
+        def wmul(w, f):
+            return (w[0] * f, w[1] * f)
+
+        def wsel(acc, nw, w):
+            return (jnp.where(acc, nw[0], w[0]), jnp.where(acc, nw[1], w[1]))
+    else:
+        def wabs(w):
+            return jnp.abs(w)
+
+        def wabs2(w):
+            return w * w
+
+        def wmul(w, f):
+            return w * f
+
+        def wsel(acc, nw, w):
+            return jnp.where(acc, nw, w)
 
     def kernel(kd_ref, rw_ref, *refs):
         # refs layout: atab (SMEM [ncleaf, R] int32 multipliers), then per
@@ -413,7 +450,7 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
         def joint_p(weights, pads):
             p = rw_ref[norm] * pads[norm]
             for i in range(n):
-                p = p + jnp.abs(weights[i]) * rw_ref[i] * pads[i]
+                p = p + wabs(weights[i]) * rw_ref[i] * pads[i]
             return p
 
         def leaf_vals_of(vals):
@@ -507,7 +544,7 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
                 gidxs[k] = jnp.where(accept, ngidxs[k], gidxs[k])
                 probs[k] = jnp.where(accept, nprobs[k], probs[k])
             for i in range(n):
-                weights[i] = jnp.where(accept, new_weights[i], weights[i])
+                weights[i] = wsel(accept, new_weights[i], weights[i])
             for i in range(nd):
                 pads[i] = jnp.where(accept, new_pads[i], pads[i])
             p = jnp.where(accept, new_p, p)
@@ -533,7 +570,7 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
                             if used_np[i, li.group, slot]:
                                 prob_i = masked_prod(gp2, used_np[i])
                                 wf2 = jnp.minimum(
-                                    jnp.abs(weights[i]) ** 2 / prob_i
+                                    wabs2(weights[i]) / prob_i
                                     * pads[i] / p, 1e34)
                                 sw = wf2 if sw is None else sw + wf2
                         if sw is None:
@@ -549,13 +586,18 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
             vis = list(carry["vis"])
             relws = []
             for i in range(n):
-                relw = weights[i] * pads[i] / p
+                relw = wmul(weights[i], pads[i] / p)
                 relws.append(relw)
-                vis[i] = vis[i] + jnp.abs(weights[i] * pads[i]
-                                          * rw_ref[i]) / p * mw
+                vis[i] = vis[i] + wabs(weights[i]) * pads[i] \
+                    * rw_ref[i] / p * mw
             if measure_batched is None:
-                for i in range(n):
-                    obs[i] = obs[i] + relws[i] * mw
+                if cplx:
+                    for i in range(n):
+                        obs[2 * i] = obs[2 * i] + relws[i][0] * mw
+                        obs[2 * i + 1] = obs[2 * i + 1] + relws[i][1] * mw
+                else:
+                    for i in range(n):
+                        obs[i] = obs[i] + relws[i] * mw
             else:
                 contrib = measure_batched(leaf_vals_of(vals), relws)
                 k = 0

@@ -157,6 +157,67 @@ def make_eval_batched(spec, integrand, inplace, weight_dtype):
     return _eval
 
 
+def make_eval_batched_pairs(spec, integrand, inplace):
+    """Batched complex integrand eval as (re, im) float32 pairs.
+
+    Wraps :func:`make_eval_batched` at complex64 with the realify
+    transform (ops/realify.py) so every complex intermediate evaluates as
+    an (re, im) f32 pair — the form Mosaic kernels can run (no complex
+    element type on TPU cores).  Returns f(leaf_vals) -> list of n
+    (re, im) tuples.  Raises RealifyError at trace time for complex
+    primitives without a rewrite rule (callers fall back to XLA).
+    """
+    from .realify import realify
+
+    base = make_eval_batched(spec, integrand, inplace, jnp.complex64)
+    lifted = realify(lambda *leaf_vals: tuple(base(list(leaf_vals))))
+
+    def _eval(leaf_vals):
+        return list(lifted(*leaf_vals))
+
+    return _eval
+
+
+def validate_batched_pairs(spec, eval_pairs, eval_fn) -> bool:
+    """Prove realified pair eval == complex vmapped eval (else: XLA)."""
+    try:
+        from ..models.variable import Discrete
+
+        rng = np.random.default_rng(12345)
+        leaf_vals = []
+        for li in spec.leaves:
+            if isinstance(li.leaf, Discrete):
+                v = rng.integers(li.leaf.lower, li.leaf.upper + 1,
+                                 (li.ndraw, 4, 2))
+                leaf_vals.append(jnp.asarray(v, jnp.int32))
+                continue
+            lo = float(getattr(li.leaf, "lower", 0.0))
+            rg = float(getattr(li.leaf, "range", 1.0))
+            u = rng.uniform(0.05, 0.95, (li.ndraw, 4, 2))
+            leaf_vals.append(jnp.asarray(lo + rg * u, jnp.float32))
+
+        def per_sample(vals):
+            return eval_fn([{"val": v} for v in vals])
+
+        @jax.jit
+        def probe(leaf_vals):
+            pairs = eval_pairs(leaf_vals)
+            wv = jax.vmap(jax.vmap(per_sample, in_axes=-1, out_axes=-1),
+                          in_axes=-1, out_axes=-1)(leaf_vals)
+            oks = []
+            for i, p in enumerate(pairs):
+                re, im = p if isinstance(p, tuple) else (p, jnp.zeros_like(p))
+                oks.append(jnp.allclose(re, jnp.real(wv[i]),
+                                        rtol=1e-5, atol=1e-6))
+                oks.append(jnp.allclose(im, jnp.imag(wv[i]),
+                                        rtol=1e-5, atol=1e-6))
+            return jnp.all(jnp.stack(oks))
+
+        return bool(probe(leaf_vals))
+    except Exception:
+        return False
+
+
 def validate_batched(spec, eval_batched, eval_fn) -> bool:
     """Prove batched eval == per-sample vmapped eval on random points.
 

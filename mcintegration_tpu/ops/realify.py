@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import core as jcore
+from jax.extend import core as jcore
 
 
 class RealifyError(NotImplementedError):
@@ -100,7 +100,7 @@ def _eval_realified(jaxpr: jcore.Jaxpr, consts, *args):
         out_cpx = any(_is_cpx_aval(ov.aval) for ov in eqn.outvars)
 
         # nested jaxprs: recurse with the same environment convention
-        if name in ("pjit", "closed_call", "custom_jvp_call",
+        if name in ("jit", "pjit", "closed_call", "custom_jvp_call",
                     "custom_vjp_call", "remat", "checkpoint",
                     "custom_vjp_call_jaxpr"):
             inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")

@@ -106,13 +106,26 @@ class VegasMCIteration:
                     and pallas_chain.chain_eligible(
                         spec, measure=measure, weight_dtype=weight_dtype,
                         obs_proto=obs_proto)):
-                eval_b = pallas_vegas.make_eval_batched(
-                    spec, integrand, inplace, weight_dtype)
+                cplx = weight_dtype == jnp.complex64
                 eval_fn_probe = spec.make_eval(integrand, inplace,
                                                weight_dtype)
+                if cplx:
+                    # complex weights run as (re, im) f32 pairs inside the
+                    # kernel (ops/realify.py); any complex primitive
+                    # without a rewrite rule fails the probe -> XLA path
+                    try:
+                        eval_b = pallas_vegas.make_eval_batched_pairs(
+                            spec, integrand, inplace)
+                        validate = pallas_vegas.validate_batched_pairs
+                    except Exception:
+                        eval_b = None
+                else:
+                    eval_b = pallas_vegas.make_eval_batched(
+                        spec, integrand, inplace, weight_dtype)
+                    validate = pallas_vegas.validate_batched
                 measure_b = None
-                measure_ok = True
-                if measure is not None:
+                measure_ok = eval_b is not None
+                if measure is not None and measure_ok:
                     measure_b = pallas_chain.make_measure_batched(
                         spec, measure, weight_dtype, obs_proto)
                     measure_ok = pallas_chain.validate_measure_batched(
@@ -134,8 +147,7 @@ class VegasMCIteration:
                         S = cand
                         break
                 if (S > 0 and measure_ok
-                        and pallas_vegas.validate_batched(spec, eval_b,
-                                                          eval_fn_probe)):
+                        and validate(spec, eval_b, eval_fn_probe)):
                     wtiles = max(1, W // (block * S * 128))
                     Wg = block * wtiles * S * 128 * ndev
                     self.nwalkers = Wg
@@ -146,8 +158,10 @@ class VegasMCIteration:
                         nsteps=self.nsteps, mf=measurefreq,
                         interpret=interp, measure_batched=measure_b,
                         obs_proto=obs_proto,
-                        warmup=int(self.nsteps * self.warmup))
+                        warmup=int(self.nsteps * self.warmup),
+                        cplx=cplx)
                     self.backend = "pallas"
+                    self._pallas_cplx = cplx
                     rows_local = block * wtiles
 
                     if ndev > 1:
@@ -386,7 +400,13 @@ class VegasMCIteration:
         kd = np.asarray(jax.random.key_data(jax.random.split(key, nrows)))
         keys = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
         obs_b, norm_b, visited, hists, prop_cnt, acc_cnt = self._fn(params, keys)
-        obs_b = decode_complex_numpy(jax.tree_util.tree_map(gather_rows, obs_b))
+        obs_b = jax.tree_util.tree_map(gather_rows, obs_b)
+        if getattr(self, "_pallas_cplx", False):
+            # kernel component layout: [.., 2i] = Re w_i, [.., 2i+1] = Im w_i
+            ob = np.asarray(obs_b, dtype=np.float64)
+            obs_b = ob[:, 0::2] + 1j * ob[:, 1::2]
+        else:
+            obs_b = decode_complex_numpy(obs_b)
         norm_b = gather_rows(norm_b).astype(np.float64)
         spec = self.spec
         nd = spec.N + 1

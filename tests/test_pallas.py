@@ -247,6 +247,39 @@ def test_chain_measurefreq():
     assert abs(m.mean() - np.pi / 4) < 10 * max(err, 5e-3)
 
 
+def test_chain_complex_statistical():
+    """Complex integrands run fused as (re, im) f32 pairs (ops/realify.py);
+    kernel matches the XLA pipeline and the exact quarter-disc phase
+    integral.  Reference complex handling: src/statistics.jl:24-55."""
+    from mcintegration_tpu.solvers.vegasmc import VegasMCIteration
+
+    def fc(x, c):
+        inside = jnp.where(x[0] ** 2 + x[1] ** 2 < 1.0, 1.0, 0.0)
+        return inside * jnp.exp(1j * (x[0] + x[1]))
+
+    # dblquad of e^{i(x+y)} over the quarter disc
+    EXACT = 0.4930385477642199 + 0.5622057316603964j
+    res = {}
+    for be in ("xla", "pallas"):
+        cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=5,
+                            type=complex)
+        spec = Spec(cfg)
+        it = VegasMCIteration(spec, fc, block=4, nevalperblock=2 ** 15,
+                              backend=be, nwalkers=8192,
+                              weight_dtype=jnp.complex64)
+        assert it.backend == be
+        st = it.run(spec.device_params(), jax.random.key(3))
+        m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+        mean = m.mean()
+        err = (m.real.std(ddof=1) + 1j * m.imag.std(ddof=1)) / 2
+        res[be] = (mean, err)
+        assert abs(mean.real - EXACT.real) < 10 * max(err.real, 1e-9)
+        assert abs(mean.imag - EXACT.imag) < 10 * max(err.imag, 1e-9)
+    d = res["xla"][0] - res["pallas"][0]
+    s = np.hypot(abs(res["xla"][1]), abs(res["pallas"][1]))
+    assert abs(d) < 7 * max(s, 1e-9)
+
+
 def test_chain_integrate_adaptive():
     from mcintegration_tpu.main import integrate
 
