@@ -126,7 +126,15 @@ def mcmc_eligible(spec, *, measure, weight_dtype, obs_proto=None,
     """Static checks for the fused mcmc kernel (else: XLA scan path)."""
     from .pallas_chain import MAX_MEASURE_COMPONENTS, obs_components
 
-    if weight_dtype != jnp.float32:
+    # complex64 weights run as (re, im) f32 pairs via ops/realify.py
+    # (default measure only — custom complex measures take the XLA path);
+    # the reference treats complex uniformly in all solvers
+    # (src/statistics.jl:207-214)
+    cplx = weight_dtype == jnp.complex64
+    if cplx:
+        if measure is not None:
+            return False
+    elif weight_dtype != jnp.float32:
         return False
     nd = spec.N + 1
     if nd > 62:            # adjacency bitmask lives in two int32 words
@@ -150,7 +158,7 @@ def mcmc_eligible(spec, *, measure, weight_dtype, obs_proto=None,
         elif kind == "disc":
             if li.leaf.nbin > MAX_DISCRETE_NBIN:
                 return False
-    ncomp = spec.N
+    ncomp = spec.N * (2 if cplx else 1)
     if measure is not None:
         ncomp = obs_components(obs_proto)
         if ncomp > MAX_MEASURE_COMPONENTS:
@@ -161,7 +169,8 @@ def mcmc_eligible(spec, *, measure, weight_dtype, obs_proto=None,
     tile = S * 128 * 4
     slot_tiles = sum(li.ndraw * (3 * _leaf_width(li.leaf) + 6)
                      for li in drawn)
-    tiles = slot_tiles + 2 * n + ncomp + 2 * nd + nvar + 24
+    tiles = (slot_tiles + (4 if cplx else 2) * n + ncomp + 2 * nd
+             + nvar + 24)
     bases = 2 * N_LATTICE * tile * ncont
     hists = sum(level_size(li.leaf.nhist) ** 2 * 4 for li in drawn
                 if getattr(li.leaf, "adapt", False))
@@ -242,6 +251,60 @@ def validate_batched_idx(spec, evals_b, integrand, weight_dtype) -> bool:
         return False
 
 
+def make_eval_batched_idx_pairs(spec, integrand) -> List[Callable]:
+    """Per-integrand batched complex evals as (re, im) float32 pairs.
+
+    Wraps :func:`make_eval_batched_idx` at complex64 with the realify
+    transform (ops/realify.py) so every complex intermediate evaluates as
+    an (re, im) f32 pair — the form Mosaic kernels can run.  Raises
+    RealifyError at trace time for complex primitives without a rewrite
+    rule (callers fall back to the XLA scan path).
+    """
+    from .realify import realify
+
+    base = make_eval_batched_idx(spec, integrand, jnp.complex64)
+
+    def make(i):
+        lifted = realify(lambda *lv: base[i](list(lv)))
+
+        def _eval(leaf_vals):
+            out = lifted(*leaf_vals)
+            if not isinstance(out, tuple):        # real-valued sector
+                return (out, jnp.zeros_like(out))
+            return out
+
+        return _eval
+
+    return [make(i) for i in range(spec.N)]
+
+
+def validate_batched_idx_pairs(spec, evals_b, integrand) -> bool:
+    """Prove realified pair eval == complex per-sample eval per sector."""
+    try:
+        rng = np.random.default_rng(12345)
+        leaf_vals = _probe_leaf_vals(spec, rng)
+        for i in range(spec.N):
+            eval_one = spec.make_eval_one(integrand, i, jnp.complex64)
+
+            def per_sample(vals):
+                return eval_one([{"val": v} for v in vals])
+
+            @jax.jit
+            def probe(leaf_vals, i=i):
+                re, im = evals_b[i](leaf_vals)
+                wv = jax.vmap(jax.vmap(per_sample, in_axes=-1, out_axes=-1),
+                              in_axes=-1, out_axes=-1)(leaf_vals)
+                return (jnp.allclose(re, jnp.real(wv), rtol=1e-5, atol=1e-6)
+                        & jnp.allclose(im, jnp.imag(wv), rtol=1e-5,
+                                       atol=1e-6))
+
+            if not bool(probe(leaf_vals)):
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def make_measure_batched_idx(spec, measure, weight_dtype, obs_proto):
     """Per-sector batched measure on [ndraw(,D), S, 128] leaf values.
 
@@ -312,7 +375,7 @@ def _twhere(m, a, b):
 def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                        wtiles: int, S: int, nsteps: int, nburnin: int,
                        mf: int, interpret: bool = False,
-                       measure_b=None, obs_proto=None):
+                       measure_b=None, obs_proto=None, cplx: bool = False):
     """Return run_all(params, kd [B*wtiles, 2] uint32) with the contract
     (obs [block, n] — or the obs_proto pytree with leading [block] when a
     custom measure is active — norm [block], visited [nd], hists,
@@ -350,7 +413,33 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         comp_shapes = [np.shape(x) for x in proto_leaves]
         ncomp = sum(max(int(np.prod(s)), 1) for s in comp_shapes)
     else:
-        ncomp = n
+        # complex weights run as (re, im) pairs: component 2i = Re w_i,
+        # component 2i+1 = Im w_i (reference treats re/im as independent
+        # channels, src/statistics.jl:24-55)
+        ncomp = 2 * n if cplx else n
+    assert not (cplx and measure_b is not None)
+
+    # weight algebra over scalars (real) or (re, im) pairs (complex);
+    # probability = |weight| * reweight[curr] stays real either way
+    # (mcmc/montecarlo.jl:99-101)
+    if cplx:
+        def wabs(w):
+            return jnp.sqrt(w[0] * w[0] + w[1] * w[1])
+
+        def wsel(m, a, b):
+            return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]))
+
+        def wzero_like(w):
+            return (w[0] * 0.0, w[1] * 0.0)
+    else:
+        def wabs(w):
+            return jnp.abs(w)
+
+        def wsel(m, a, b):
+            return jnp.where(m, a, b)
+
+        def wzero_like(w):
+            return w * 0.0
 
     # static host tables ---------------------------------------------------
     deg_np = np.asarray([len(a) for a in spec.cfg.neighbor], np.float32)
@@ -614,6 +703,14 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             leaf_vals = eval_leaf_vals(vals)
             if n == 1:
                 return evals_b[0](leaf_vals)
+            if cplx:
+                for i in range(n):
+                    @pl.when(jt == i)
+                    def _(i=i):
+                        re, im = evals_b[i](leaf_vals)
+                        neww_ref[0, :, :] = re
+                        neww_ref[1, :, :] = im
+                return (neww_ref[0, :, :], neww_ref[1, :, :])
             for i in range(n):
                 @pl.when(jt == i)
                 def _(i=i):
@@ -635,7 +732,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         w0 = evals_b[0](eval_leaf_vals(vals))
         r0 = rw_ref[0]
         weight = w0
-        prob_reg = jnp.abs(w0) * r0
+        prob_reg = wabs(w0) * r0
 
         def retry(rt, st):
             vals, gidxs, probs, weight, prob_reg = st
@@ -652,8 +749,8 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                         npr[(lidx, slot)] = jnp.where(bad, pr,
                                                       probs[(lidx, slot)])
             w2 = evals_b[0](eval_leaf_vals(nv))
-            weight = jnp.where(bad, w2, weight)
-            prob_reg = jnp.abs(weight) * r0
+            weight = wsel(bad, w2, weight)
+            prob_reg = wabs(weight) * r0
             return nv, ng, npr, weight, prob_reg
 
         vals, gidxs, probs, weight, prob_reg = jax.lax.fori_loop(
@@ -664,7 +761,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         # natural-layout body output then fails relayout (verified with a
         # minimal repro).  Deriving the zeros from runtime data (the eval
         # result) is unfoldable and keeps every carry in natural layout.
-        zero = weight * 0.0
+        zero = (weight[0] if cplx else weight) * 0.0
         zeroi = zero.astype(i32)
         if measure_b is not None:
             mobs_ref[...] = jnp.zeros((ncomp, S, LN), f32)
@@ -678,7 +775,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             picv=zero + 1.0 / (deg_ref[0] * float(C)),
             adjb=[zeroi + adjb_ref[0, w] for w in range(nwords)],
             dof=[zeroi + dof_ref[0, g] for g in range(nvar)],
-            obs=([zero] * n if measure_b is None else []),
+            obs=([zero] * ncomp if measure_b is None else []),
             nrm=zero, vis=[zero] * nd,
             evcnt=jnp.float32(0.0),
         )
@@ -888,8 +985,8 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
 
             # ---- acceptance ----
             p_old = jnp.maximum(prob_reg, TINY_F32)
-            p_new_mv = jnp.abs(new_w) * rcur            # CV/swap: curr==jt
-            p_new_ci = jnp.abs(new_w) * r_jt
+            p_new_mv = wabs(new_w) * rcur               # CV/swap: curr==jt
+            p_new_ci = wabs(new_w) * r_jt
             r_norm = rw_ref[norm]
             # Hastings pi_ci(new)/pi_ci(old) = deg_old/deg_new — exactly
             # the reference's neighbor-count ratio (updates.jl:48); the
@@ -952,8 +1049,8 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                 gidxs[key] = jnp.where(take, ngidxs[key], gidxs[key])
                 if key in probs:
                     probs[key] = jnp.where(take, nprobs[key], probs[key])
-            weight = jnp.where(acc_mv | acc_ci, new_w,
-                               jnp.where(acc_nj, 0.0, weight))
+            weight = wsel(acc_mv | acc_ci, new_w,
+                          wsel(acc_nj, wzero_like(weight), weight))
             prob_reg = jnp.where(acc_mv, p_new_mv,
                                  jnp.where(acc_ci, p_new_ci,
                                            jnp.where(acc_nj, r_norm,
@@ -983,9 +1080,23 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             if measure_b is None:
                 # weight/probability = sign(weight)/reweight[curr]
                 # (montecarlo.jl:160-170); norm walkers: weight 0 -> sign 0
-                contrib = jnp.sign(weight) * invr * mw
-                for i in range(n):
-                    obs[i] = obs[i] + jnp.where(curr == i, contrib, 0.0)
+                if cplx:
+                    # complex sign = phase w/|w| (|w|=0 in the norm sector)
+                    absw = wabs(weight)
+                    inv_abs = jnp.where(absw > TINY_F32,
+                                        1.0 / jnp.maximum(absw, TINY_F32),
+                                        0.0)
+                    c_re = weight[0] * inv_abs * invr * mw
+                    c_im = weight[1] * inv_abs * invr * mw
+                    for i in range(n):
+                        sel = (curr == i)
+                        obs[2 * i] = obs[2 * i] + jnp.where(sel, c_re, 0.0)
+                        obs[2 * i + 1] = obs[2 * i + 1] + jnp.where(
+                            sel, c_im, 0.0)
+                else:
+                    contrib = jnp.sign(weight) * invr * mw
+                    for i in range(n):
+                        obs[i] = obs[i] + jnp.where(curr == i, contrib, 0.0)
             else:
                 # custom measure: batched per-sector eval masked by
                 # curr == i, accumulated in VMEM scratch only at measured
@@ -1119,7 +1230,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                      + [pl.BlockSpec((Ls[l], Ls[l]), lambda bb, tt: (0, 0),
                                      memory_space=pltpu.VMEM)
                         for l in adapt_leaves])
-        scratch = [pltpu.VMEM((S, LN), f32)]
+        scratch = [pltpu.VMEM((2, S, LN) if cplx else (S, LN), f32)]
         if measure_b is not None:
             scratch.append(pltpu.VMEM((ncomp, S, LN), f32))
 

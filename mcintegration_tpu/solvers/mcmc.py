@@ -83,10 +83,21 @@ class MCMCIteration:
                     and pallas_mcmc.mcmc_eligible(
                         spec, measure=measure, weight_dtype=weight_dtype,
                         obs_proto=obs_proto)):
-                evals_b = pallas_mcmc.make_eval_batched_idx(
-                    spec, integrand, weight_dtype)
+                cplx = weight_dtype == jnp.complex64
+                if cplx:
+                    # complex weights run as (re, im) f32 pairs inside the
+                    # kernel (ops/realify.py); any complex primitive
+                    # without a rewrite rule fails the probe -> XLA path
+                    try:
+                        evals_b = pallas_mcmc.make_eval_batched_idx_pairs(
+                            spec, integrand)
+                    except Exception:
+                        evals_b = None
+                else:
+                    evals_b = pallas_mcmc.make_eval_batched_idx(
+                        spec, integrand, weight_dtype)
                 measure_b = None
-                meas_ok = True
+                meas_ok = evals_b is not None
                 if measure is not None:
                     measure_b = pallas_mcmc.make_measure_batched_idx(
                         spec, measure, weight_dtype, obs_proto)
@@ -119,8 +130,11 @@ class MCMCIteration:
                         wtiles = max(1, W // (block * S * 128))
                 else:
                     wtiles = 0
-                if wtiles > 0 and meas_ok and pallas_mcmc.validate_batched_idx(
-                        spec, evals_b, integrand, weight_dtype):
+                if wtiles > 0 and meas_ok and (
+                        pallas_mcmc.validate_batched_idx_pairs(
+                            spec, evals_b, integrand) if cplx
+                        else pallas_mcmc.validate_batched_idx(
+                            spec, evals_b, integrand, weight_dtype)):
                     Wg = block * wtiles * S * 128 * ndev
                     self.nwalkers = Wg
                     # every kernel step runs exactly one batched eval
@@ -132,8 +146,10 @@ class MCMCIteration:
                         spec, evals_b, block=block, wtiles=wtiles, S=S,
                         nsteps=self.nsteps, nburnin=nburnin,
                         mf=measurefreq, interpret=interp,
-                        measure_b=measure_b, obs_proto=obs_proto)
+                        measure_b=measure_b, obs_proto=obs_proto,
+                        cplx=cplx)
                     self.backend = "pallas"
+                    self._pallas_cplx = cplx
                     rows_local = block * wtiles
 
                     if ndev > 1:
@@ -535,8 +551,13 @@ class MCMCIteration:
             keys = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
             obs_b, norm_b, visited, hists, pc, ac, evals = self._fn(
                 params, keys)
-            obs_b = decode_complex_numpy(
-                jax.tree_util.tree_map(gather_rows, obs_b))
+            obs_b = jax.tree_util.tree_map(gather_rows, obs_b)
+            if getattr(self, "_pallas_cplx", False):
+                # kernel component layout: [.., 2i] = Re w_i, [.., 2i+1] = Im
+                ob = np.asarray(obs_b, dtype=np.float64)
+                obs_b = ob[:, 0::2] + 1j * ob[:, 1::2]
+            else:
+                obs_b = decode_complex_numpy(obs_b)
             norm_b = gather_rows(norm_b).astype(np.float64)
             # full per-(kind, sector, target) tables, same layout as the
             # XLA path (subsampled estimates — ops/pallas_mcmc.TALLY_EVERY)
