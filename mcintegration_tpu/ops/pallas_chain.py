@@ -68,7 +68,9 @@ HIST_EVERY = 8  # histogram subsample period (see module docstring)
 N_LATTICE = 8   # precomputed multiplier lattices per leaf (decorrelation)
 
 
-MAX_DISCRETE_NBIN = 32
+MAX_DISCRETE_NBIN = 1024   # two-level threshold-count CDF draw (see below)
+DISC_DIRECT_NBIN = 32      # single-level draw: nbin-1 SMEM scalar compares
+DISC_BLK = 32              # fine bins per coarse block on the wide path
 MAX_MEASURE_COMPONENTS = 64
 
 
@@ -77,6 +79,66 @@ def obs_components(obs_proto):
     import jax.tree_util as jtu
     return sum(max(int(np.prod(np.shape(x))), 1)
                for x in jtu.tree_leaves(obs_proto))
+
+
+def wide_discrete_draw(u, ccdf_ref, cf_ref, df_ref, nbin, S, LN):
+    """Two-level threshold-count CDF inversion for Discrete pools with
+    DISC_DIRECT_NBIN < nbin <= MAX_DISCRETE_NBIN (sampler.jl:13-22 law).
+
+    Level 1 counts coarse-block thresholds from SMEM scalars (<= 31
+    compares: block b covers fine bins [32b, 32b+32)); level 2 gathers
+    each walker's 32 fine upper thresholds and bin probabilities with
+    one-hot MXU products per sublane column (the gather-free idiom of
+    scatter_hist / ops/lookup.py) and counts thresholds within the block.
+    Exact: gidx = #{k: u >= cdf[k+1]} over all nbin bins, decomposed as
+    32*blk + local.  Returns (gidx, prob) as (S, LN) int32/f32 tiles.
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+    nblk = -(-nbin // DISC_BLK)
+    blk = jnp.zeros((S, LN), i32)
+    for j in range(nblk - 1):
+        blk = blk + (u >= ccdf_ref[j + 1]).astype(i32)
+    uT = u.T
+    blkT = blk.T
+    iota_blk = jax.lax.broadcasted_iota(i32, (LN, nblk), 1)
+    iota_fine = jax.lax.broadcasted_iota(i32, (LN, DISC_BLK), 1)
+    gcols, pcols = [], []
+    for s in range(S):
+        ub = uT[:, s:s + 1]
+        bb = blkT[:, s:s + 1]
+        ohb = (bb == iota_blk).astype(f32)
+        rowcdf = jax.lax.dot_general(
+            ohb, cf_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
+        local = jnp.sum((ub >= rowcdf).astype(i32), axis=1, keepdims=True)
+        rowp = jax.lax.dot_general(
+            ohb, df_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
+        ohl = (local == iota_fine).astype(f32)
+        probc = jnp.sum(rowp * ohl, axis=1, keepdims=True)
+        gcols.append(bb * DISC_BLK + local)
+        pcols.append(probc)
+    gidx = jnp.concatenate(gcols, axis=1).T
+    prob = jnp.concatenate(pcols, axis=1).T
+    return gidx, prob
+
+
+def wide_discrete_tables(cdf, nbin):
+    """Host-side tables for :func:`wide_discrete_draw`: coarse CDF
+    [nblk+1], fine upper thresholds [nblk, 32] (pad 2.0 = never passed),
+    fine probabilities [nblk, 32] (pad 0)."""
+    nblk = -(-nbin // DISC_BLK)
+    pad = nblk * DISC_BLK
+    cdf = cdf.astype(jnp.float32)
+    ccdf = cdf[jnp.minimum(jnp.arange(nblk + 1) * DISC_BLK, nbin)]
+    up = jnp.concatenate(
+        [cdf[1:], jnp.full((pad - nbin,), 2.0, jnp.float32)])
+    dist = jnp.concatenate(
+        [cdf[1:] - cdf[:-1], jnp.zeros((pad - nbin,), jnp.float32)])
+    return ccdf, up.reshape(nblk, DISC_BLK), dist.reshape(nblk, DISC_BLK)
 
 
 def chain_eligible(spec, *, measure, weight_dtype, obs_proto=None,
@@ -126,7 +188,10 @@ def chain_eligible(spec, *, measure, weight_dtype, obs_proto=None,
                 if isinstance(li.leaf, Continuous))
     hists = sum(level_size(li.leaf.nhist) ** 2 * 4 for li in drawn
                 if getattr(li.leaf, "adapt", False))
-    if tiles * tile + bases + hists > 48 * 1024 * 1024:
+    dtabs = sum(2 * -(-li.leaf.nbin // DISC_BLK) * DISC_BLK * 4
+                for li in drawn if isinstance(li.leaf, Discrete)
+                and li.leaf.nbin > DISC_DIRECT_NBIN)
+    if tiles * tile + bases + hists + dtabs > 48 * 1024 * 1024:
         return False
     return True
 
@@ -230,6 +295,8 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
     dleaf = [i for i, li in enumerate(leaves) if li.ndraw > 0]
     cleaf = [i for i in dleaf if not isinstance(leaves[i].leaf, Discrete)]
     xleaf = [i for i in dleaf if isinstance(leaves[i].leaf, Discrete)]
+    xleaf_wide = [i for i in xleaf
+                  if leaves[i].leaf.nbin > DISC_DIRECT_NBIN]
     eligible_groups = [g for g in range(nvar) if spec.maxdof[g] > 0]
     # burn-in discard before measuring (reference fixes 1%, montecarlo.jl:213;
     # callers may raise it for badly mismatched frozen proposals)
@@ -293,9 +360,17 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
         pgb = {lidx: refs[1 + 2 * k] for k, lidx in enumerate(cleaf)}
         pib = {lidx: refs[2 + 2 * k] for k, lidx in enumerate(cleaf)}
         o = 1 + 2 * len(cleaf)
-        cdfr = {lidx: refs[o + 2 * k] for k, lidx in enumerate(xleaf)}
-        distr = {lidx: refs[o + 1 + 2 * k] for k, lidx in enumerate(xleaf)}
-        o += 2 * len(xleaf)
+        cdfr, distr, ccdfr, cfr, dfr = {}, {}, {}, {}, {}
+        for lidx in xleaf:
+            if lidx in xleaf_wide:
+                ccdfr[lidx] = refs[o]
+                cfr[lidx] = refs[o + 1]
+                dfr[lidx] = refs[o + 2]
+                o += 3
+            else:
+                cdfr[lidx] = refs[o]
+                distr[lidx] = refs[o + 1]
+                o += 2
         obs_ref, norm_ref, vis_ref, pc_ref, ac_ref = refs[o:o + 5]
         hist_refs = {lidx: refs[o + 5 + k]
                      for k, lidx in enumerate(adapt_leaves)}
@@ -383,6 +458,11 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
                 # Discrete: gidx = #{k: u >= cdf[k+1]} (sampler.jl:13-22)
                 nbin = leaves[lidx].leaf.nbin
                 u = draw_u(t)
+                if lidx in xleaf_wide:
+                    gidx, prob = wide_discrete_draw(
+                        u, ccdfr[lidx], cfr[lidx], dfr[lidx], nbin, S, LN)
+                    value = gidx + np.int32(leaves[lidx].leaf.lower)
+                    return value, gidx, prob
                 gidx = jnp.zeros((S, LN), i32)
                 for k in range(nbin - 1):
                     gidx = gidx + (u >= cdfr[lidx][k + 1]).astype(i32)
@@ -673,9 +753,24 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
             bases += [jnp.concatenate(rows_g, axis=0),
                       jnp.concatenate(rows_i, axis=0)]
         disc_ins = []
+        disc_specs = []
         for lidx in xleaf:
             cdf = params["leaf"][lidx]["cdf"].astype(jnp.float32)
-            disc_ins += [cdf, cdf[1:] - cdf[:-1]]
+            nbin = leaves[lidx].leaf.nbin
+            if lidx in xleaf_wide:
+                ccdf, cf, df = wide_discrete_tables(cdf, nbin)
+                nblk = -(-nbin // DISC_BLK)
+                disc_ins += [ccdf, cf, df]
+                disc_specs += [
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((nblk, DISC_BLK), lambda bb, tt: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nblk, DISC_BLK), lambda bb, tt: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ]
+            else:
+                disc_ins += [cdf, cdf[1:] - cdf[:-1]]
+                disc_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         rw = params["reweight"].astype(jnp.float32)
 
         in_specs = ([
@@ -684,7 +779,7 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # atab [ncleaf, R]
         ] + [pl.BlockSpec((N_LATTICE * S, LN), lambda bb, tt: (0, 0),
                           memory_space=pltpu.VMEM)] * (2 * len(cleaf))
-            + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (2 * len(xleaf)))
+            + disc_specs)
         out_shape = ([jax.ShapeDtypeStruct((B, ncomp), f32),
                       jax.ShapeDtypeStruct((B, 1), f32),
                       jax.ShapeDtypeStruct((1, nd), f32),

@@ -94,9 +94,11 @@ from .lookup import level_size, padded_hist_size
 from ..common import DENS_FLOOR_F32, TINY_F32
 from .pallas_vegas import _mix32, build_view
 
+from .pallas_chain import (DISC_BLK, DISC_DIRECT_NBIN, MAX_DISCRETE_NBIN,
+                           wide_discrete_draw, wide_discrete_tables)
+
 HIST_EVERY = 8    # histogram subsample period (pallas_chain.py docstring)
 N_LATTICE = 8     # precomputed multiplier lattices per leaf (decorrelation)
-MAX_DISCRETE_NBIN = 32
 TALLY_EVERY = 8   # propose/accept pair-table subsample period: the full
                   # (kind, sector, target) tables are DIAGNOSTIC statistics
                   # (configuration.jl:345-465); sampling every 8th step and
@@ -174,7 +176,10 @@ def mcmc_eligible(spec, *, measure, weight_dtype, obs_proto=None,
     bases = 2 * N_LATTICE * tile * ncont
     hists = sum(level_size(li.leaf.nhist) ** 2 * 4 for li in drawn
                 if getattr(li.leaf, "adapt", False))
-    if tiles * tile + bases + hists > 48 * 1024 * 1024:
+    dtabs = sum(2 * -(-li.leaf.nbin // DISC_BLK) * DISC_BLK * 4
+                for li in drawn if _leaf_kind(li.leaf) == "disc"
+                and li.leaf.nbin > DISC_DIRECT_NBIN)
+    if tiles * tile + bases + hists + dtabs > 48 * 1024 * 1024:
         return False
     return True
 
@@ -394,6 +399,8 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
     dleaf = [i for i, li in enumerate(leaves) if li.ndraw > 0]
     cleaf = [i for i in dleaf if _leaf_kind(leaves[i].leaf) == "cont"]
     xleaf = [i for i in dleaf if _leaf_kind(leaves[i].leaf) == "disc"]
+    xleaf_wide = [i for i in xleaf
+                  if leaves[i].leaf.nbin > DISC_DIRECT_NBIN]
     fleaf = [i for i in dleaf if _leaf_kind(leaves[i].leaf) == "fermik"]
     f32 = jnp.float32
     i32 = jnp.int32
@@ -463,9 +470,15 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         pgb, pib = {}, {}
         for lidx in cleaf:
             pgb[lidx] = refs[o]; pib[lidx] = refs[o + 1]; o += 2
-        cdfr, distr = {}, {}
+        cdfr, distr, ccdfr, cfr, dfr = {}, {}, {}, {}, {}
         for lidx in xleaf:
-            cdfr[lidx] = refs[o]; distr[lidx] = refs[o + 1]; o += 2
+            if lidx in xleaf_wide:
+                ccdfr[lidx] = refs[o]
+                cfr[lidx] = refs[o + 1]
+                dfr[lidx] = refs[o + 2]
+                o += 3
+            else:
+                cdfr[lidx] = refs[o]; distr[lidx] = refs[o + 1]; o += 2
         (obs_ref, norm_ref, vis_ref, pcf_ref, acf_ref, ev_ref) = refs[o:o + 6]
         o += 6
         hist_refs = {lidx: refs[o + k] for k, lidx in enumerate(adapt_leaves)}
@@ -651,6 +664,10 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             # Discrete: gidx = #{k: u >= cdf[k+1]} (sampler.jl:13-22)
             nbin = li.leaf.nbin
             u = draw_u(t)
+            if lidx in xleaf_wide:
+                gidx, prob = wide_discrete_draw(
+                    u, ccdfr[lidx], cfr[lidx], dfr[lidx], nbin, S, LN)
+                return gidx + np.int32(li.leaf.lower), gidx, prob
             gidx = jnp.zeros((S, LN), i32)
             for k in range(nbin - 1):
                 gidx = gidx + (u >= cdfr[lidx][k + 1]).astype(i32)
@@ -1213,9 +1230,22 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                                       memory_space=pltpu.VMEM)] * 2
         for lidx in xleaf:
             cdf = params["leaf"][lidx]["cdf"].astype(jnp.float32)
-            dist = cdf[1:] - cdf[:-1]
-            ins += [cdf, dist]
-            in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+            if lidx in xleaf_wide:
+                nbin = leaves[lidx].leaf.nbin
+                ccdf, cf, df = wide_discrete_tables(cdf, nbin)
+                nblk = -(-nbin // DISC_BLK)
+                ins += [ccdf, cf, df]
+                in_specs += [
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((nblk, DISC_BLK), lambda bb, tt: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nblk, DISC_BLK), lambda bb, tt: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ]
+            else:
+                dist = cdf[1:] - cdf[:-1]
+                ins += [cdf, dist]
+                in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
 
         rw = params["reweight"].astype(jnp.float32)
         out_shape = ([jax.ShapeDtypeStruct((B, ncomp), f32),

@@ -197,6 +197,89 @@ def test_chain_discrete_pool_statistical():
     assert abs(m.mean() - 5.0) < 10 * max(err, 0.05), (m.mean(), err)
 
 
+def test_wide_discrete_draw_exact_law():
+    """The two-level threshold-count draw (pallas_chain.wide_discrete_draw)
+    reproduces the exact inverse-CDF law gidx = #{k: u >= cdf[k+1]}
+    (sampler.jl:13-22) and the matching bin probability, for nbin both at
+    a block boundary and ragged."""
+    from mcintegration_tpu.ops.pallas_chain import (
+        wide_discrete_draw, wide_discrete_tables)
+
+    rng = np.random.default_rng(7)
+    S, LN = 8, 128
+    for nbin in (100, 128, 33, 1024):
+        w = rng.dirichlet(np.ones(nbin) * 0.2)     # skewed distribution
+        cdf = jnp.asarray(np.concatenate([[0.0], np.cumsum(w)]), jnp.float32)
+        ccdf, cf, df = wide_discrete_tables(cdf, nbin)
+        u = jnp.asarray(rng.uniform(0, 1, (S, LN)), jnp.float32)
+        gidx, prob = wide_discrete_draw(u, ccdf, cf, df, nbin, S, LN)
+        cdf_np = np.asarray(cdf)
+        want = (np.asarray(u)[..., None] >= cdf_np[None, None, 1:]).sum(-1)
+        assert np.array_equal(np.asarray(gidx), want), nbin
+        dist_np = cdf_np[1:] - cdf_np[:-1]
+        assert np.allclose(np.asarray(prob), dist_np[want], rtol=1e-6), nbin
+
+
+def test_chain_wide_discrete_pi_series():
+    """The BASELINE config 'Discrete(1,100) pi Taylor series' rides the
+    fused path: MAX_DISCRETE_NBIN lifted 32 -> 1024 via the two-level
+    threshold-count draw (round-3 verdict item 5b)."""
+    from mcintegration_tpu.main import integrate
+    from mcintegration_tpu.solvers.vegasmc import VegasMCIteration
+
+    NB = 100
+
+    def f(x, c):
+        n = x[0].astype(jnp.float32)
+        return 4.0 * jnp.where(jnp.mod(n, 2.0) == 1.0, 1.0, -1.0) \
+            / (2.0 * n - 1.0)
+
+    exact = float(sum(4 * (-1) ** (k + 1) / (2 * k - 1)
+                      for k in range(1, NB + 1)))  # ~3.13159
+    cfg = Configuration(var=Discrete(1, NB), dof=[[1]], seed=3)
+    spec = Spec(cfg)
+    # 256 steps/walker + 25% warmup: signed 100-bin chains need room to
+    # equilibrate before the ratio estimator is trustworthy (the same
+    # short-chain bias exists on the XLA path — measured 1.4 vs 3.13 at
+    # 64 steps with zero warmup, either backend)
+    it = VegasMCIteration(spec, f, block=2, nevalperblock=2 ** 18,
+                          backend="pallas", nwalkers=2048, warmup=0.25)
+    assert it.backend == "pallas"          # eligibility flip: was XLA-only
+    st = it.run(spec.device_params(), jax.random.key(6))
+    m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+    err = m.std(ddof=1) / np.sqrt(len(m))
+    # sum_n f(n): the Discrete pool integrates the series directly
+    assert abs(m.mean() - exact) < 10 * max(err, 0.05), (m.mean(), err)
+
+    # nbin beyond the lifted cap still routes to XLA
+    cfg = Configuration(var=Discrete(1, 2000), dof=[[1]], seed=3)
+    it = VegasMCIteration(Spec(cfg), f, block=2, nevalperblock=2 ** 16,
+                          backend="pallas", nwalkers=2048)
+    assert it.backend == "xla"
+
+
+def test_mcmc_wide_discrete_pi_series():
+    """Same BASELINE config through the fused :mcmc kernel (the solver the
+    baseline names), with adaptive reweight via integrate()."""
+    from mcintegration_tpu.main import integrate
+
+    NB = 100
+    exact = float(sum(4 * (-1) ** (k + 1) / (2 * k - 1)
+                      for k in range(1, NB + 1)))
+
+    def f(i, x, c):
+        n = x[0].astype(jnp.float32)
+        return 4.0 * jnp.where(jnp.mod(n, 2.0) == 1.0, 1.0, -1.0) \
+            / (2.0 * n - 1.0)
+
+    res = integrate(f, var=Discrete(1, NB), dof=[[1]], neval=600_000,
+                    niter=4, block=2, verbose=-2, seed=5, solver="mcmc",
+                    backend="pallas", nwalkers=2048)
+    mean = float(np.asarray(res.mean[0]))
+    err = float(np.asarray(res.stdev[0]))
+    assert abs(mean - exact) < 10 * max(err, 0.05), (mean, err)
+
+
 def test_chain_custom_measure_vector_obs():
     """Broadcast-friendly vector measure runs inside the chain kernel —
     the bubble-shaped spec (Continuous + Discrete external index)."""
@@ -395,6 +478,56 @@ def test_mcmc_pallas_discrete_pool():
     assert abs(m.mean() - 5.0) < 10 * max(err, 0.1), (m.mean(), err)
 
 
+def test_mcmc_pallas_complex_statistical():
+    """Complex integrands run fused as (re, im) f32 pairs (ops/realify.py);
+    kernel matches the XLA scan path and the exact quarter-disc phase
+    integral.  Reference complex handling: src/statistics.jl:207-214."""
+
+    def fc(i, x, c):
+        inside = jnp.where(x[0] ** 2 + x[1] ** 2 < 1.0, 1.0, 0.0)
+        return inside * jnp.exp(1j * (x[0] + x[1]))
+
+    EXACT = 0.4930147 + 0.5621625j   # dblquad over the quarter disc
+    res = {}
+    for be in ("xla", "pallas"):
+        spec, it = _mk_mcmc(fc, dof=[[2]], seed=7, neval=1_200_000,
+                            backend=be, weight_dtype=jnp.complex64)
+        assert it.backend == be
+        st = it.run(spec.device_params(), jax.random.key(5))
+        m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+        mean = m.mean()
+        err = (m.real.std(ddof=1) + 1j * m.imag.std(ddof=1)) / 2
+        res[be] = (mean, err)
+        assert abs(mean.real - EXACT.real) < 10 * max(err.real, 1e-3)
+        assert abs(mean.imag - EXACT.imag) < 10 * max(err.imag, 1e-3)
+    d = res["xla"][0] - res["pallas"][0]
+    s = np.hypot(abs(res["xla"][1]), abs(res["pallas"][1]))
+    assert abs(d) < 7 * max(s, 1e-3)
+
+
+def test_mcmc_pallas_complex_multi_integrand():
+    """Two complex sectors: exercises the scheduled per-sector pair eval
+    (the (2, S, 128) scratch dispatch) plus changeIntegrand jumps between
+    complex-weighted sectors."""
+
+    def fc(i, x, c):
+        inside = jnp.where(x[0] ** 2 + x[1] ** 2 < 1.0, 1.0, 0.0)
+        return jnp.where(i == 0, inside * jnp.exp(1j * (x[0] + x[1])),
+                         inside * jnp.exp(2j * x[0]))
+
+    EXACTS = (0.4930147 + 0.5621625j, 0.4529586 + 0.5079670j)
+    spec, it = _mk_mcmc(fc, dof=[[2], [2]], seed=9, neval=2_000_000,
+                        weight_dtype=jnp.complex64)
+    assert it.backend == "pallas"
+    st = it.run(spec.device_params(), jax.random.key(6))
+    nb = st["norm_blocks"]
+    for i, exact in enumerate(EXACTS):
+        m = st["obs_blocks"][:, i] / nb
+        err = (m.real.std(ddof=1) + 1j * m.imag.std(ddof=1)) / 2
+        assert abs(m.mean().real - exact.real) < 10 * max(err.real, 5e-3), i
+        assert abs(m.mean().imag - exact.imag) < 10 * max(err.imag, 5e-3), i
+
+
 def test_mcmc_pallas_deterministic_same_seed():
     spec, it = _mk_mcmc(
         lambda i, x, c: jnp.where(x[0] ** 2 + x[1] ** 2 < 1, 1.0, 0.0),
@@ -440,9 +573,25 @@ def test_mcmc_pallas_fallbacks():
                        nevalperblock=2 ** 19, backend="pallas", nwalkers=2048)
     assert it.backend == "xla"
 
-    # complex weights -> xla (kernel accumulators are float32)
+    # complex weights are served in-kernel since round 4 as (re, im)
+    # f32 pairs (ops/realify.py); reference treats complex uniformly in
+    # all solvers (src/statistics.jl:207-214)
     cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1)
-    it = MCMCIteration(Spec(cfg), lambda i, x, c: 1.0 + 0j, block=2,
+    it = MCMCIteration(Spec(cfg),
+                       lambda i, x, c: jnp.exp(1j * x[0]), block=2,
+                       nevalperblock=2 ** 19, backend="pallas",
+                       nwalkers=2048, weight_dtype=jnp.complex64)
+    assert it.backend == "pallas"
+    assert it._pallas_cplx
+
+    # complex + custom measure -> xla (realify stops at default measure)
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1,
+                        obs=[np.zeros(2)], type=complex)
+    it = MCMCIteration(Spec(cfg),
+                       lambda i, x, c: jnp.exp(1j * x[0]),
+                       measure=lambda i, x, w, c: [
+                           onehot(i, 0, 2, w.dtype, like=w) * w],
+                       obs_proto=[np.zeros(2, np.complex64)], block=2,
                        nevalperblock=2 ** 19, backend="pallas",
                        nwalkers=2048, weight_dtype=jnp.complex64)
     assert it.backend == "xla"
