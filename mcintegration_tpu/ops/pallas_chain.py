@@ -147,11 +147,10 @@ def chain_eligible(spec, *, measure, weight_dtype, obs_proto=None,
     from ..models.variable import Continuous, Discrete
 
     # the kernel's VMEM accumulators and fori_loop carry are float32;
-    # complex64 weights run as (re, im) f32 pairs via ops/realify.py
-    # (default measure only — custom complex measures take the XLA path)
+    # complex64 weights — and complex custom-measure observables — run as
+    # (re, im) f32 pairs via ops/realify.py
     if weight_dtype == jnp.complex64:
-        if measure is not None:
-            return False
+        pass
     elif weight_dtype != jnp.float32:
         return False
     drawn = [li for li in spec.leaves if li.ndraw > 0]
@@ -172,7 +171,10 @@ def chain_eligible(spec, *, measure, weight_dtype, obs_proto=None,
     cplx = weight_dtype == jnp.complex64
     ncomp = spec.N * (2 if cplx else 1)
     if measure is not None:
-        ncomp = obs_components(obs_proto)
+        import jax.tree_util as jtu
+        ncomp = sum(max(int(np.prod(np.shape(x))), 1)
+                    * (2 if np.iscomplexobj(x) else 1)
+                    for x in jtu.tree_leaves(obs_proto))
         if ncomp > MAX_MEASURE_COMPONENTS:
             return False                         # VMEM accumulator budget
     # VMEM working-set bound: per-walker-tile f32 arrays (slot state ×2 for
@@ -274,6 +276,93 @@ def validate_measure_batched(spec, measure_b, measure, obs_proto) -> bool:
         return False
 
 
+def make_measure_batched_pairs(spec, measure, obs_proto):
+    """Complex-capable batched measure as (re, im) float32 pairs.
+
+    Wraps :func:`make_measure_batched` at complex64 with the realify
+    transform (ops/realify.py): the kernel's per-integrand relative
+    weights arrive as (re, im) pairs, are recombined into complex inside
+    the traced function, and every complex observable contribution comes
+    back as an (re, im) tuple in the output pytree.  Raises RealifyError
+    at build time for complex primitives without a rewrite rule (callers
+    fall back to the XLA path).
+    """
+    from .realify import realify
+
+    base = make_measure_batched(spec, measure, jnp.complex64, obs_proto)
+
+    def complex_call(leaf_vals, relw_res, relw_ims):
+        relws = [jax.lax.complex(r, i) for r, i in zip(relw_res, relw_ims)]
+        return base(leaf_vals, relws)
+
+    lifted = realify(complex_call)
+
+    def _m(leaf_vals, relw_pairs):
+        return lifted(leaf_vals, [p[0] for p in relw_pairs],
+                      [p[1] for p in relw_pairs])
+
+    return _m
+
+
+def validate_measure_batched_pairs(spec, measure_b, measure,
+                                   obs_proto) -> bool:
+    """Prove realified pair measure == complex per-sample measure."""
+    from ..models.variable import Discrete
+
+    try:
+        rng = np.random.default_rng(54321)
+        leaf_vals = []
+        for li in spec.leaves:
+            nd_ = max(li.ndraw, 1)
+            if isinstance(li.leaf, Discrete):
+                v = rng.integers(li.leaf.lower, li.leaf.upper + 1,
+                                 (nd_, 4, 2))
+                leaf_vals.append(jnp.asarray(v, jnp.int32)[: li.ndraw])
+            else:
+                lo = float(getattr(li.leaf, "lower", 0.0))
+                rg = float(getattr(li.leaf, "range", 1.0))
+                u = rng.uniform(0.05, 0.95, (nd_, 4, 2))
+                leaf_vals.append(jnp.asarray(lo + rg * u,
+                                             jnp.float32)[: li.ndraw])
+        rw_re = jnp.asarray(rng.uniform(0.1, 1.0, (spec.N, 4, 2)),
+                            jnp.float32)
+        rw_im = jnp.asarray(rng.uniform(-0.5, 0.5, (spec.N, 4, 2)),
+                            jnp.float32)
+        uc = spec.uconfig
+
+        def per_sample(vals, rw_col):
+            pools = [{"val": v} for v in vals]
+            out = measure(spec.view(pools), rw_col, uc)
+            return jax.tree_util.tree_map(
+                lambda z, p: jnp.reshape(z, np.shape(p)), out, obs_proto)
+
+        @jax.jit
+        def probe(leaf_vals, rw_re, rw_im):
+            wb = measure_b(leaf_vals,
+                           [(rw_re[i], rw_im[i]) for i in range(spec.N)])
+            relw = jax.lax.complex(rw_re, rw_im)
+            wv = jax.vmap(jax.vmap(per_sample, in_axes=-1, out_axes=-1),
+                          in_axes=-1, out_axes=-1)(leaf_vals, relw)
+
+            oks = []
+            for a, b in zip(jax.tree_util.tree_leaves(
+                    wb, is_leaf=lambda x: isinstance(x, tuple)),
+                    jax.tree_util.tree_leaves(wv)):
+                if isinstance(a, tuple):
+                    oks.append(jnp.allclose(a[0], jnp.real(b),
+                                            rtol=1e-5, atol=1e-6))
+                    oks.append(jnp.allclose(a[1], jnp.imag(b),
+                                            rtol=1e-5, atol=1e-6))
+                else:
+                    oks.append(jnp.allclose(a, jnp.asarray(b, a.dtype),
+                                            rtol=1e-5, atol=1e-6))
+            return jnp.all(jnp.stack(oks))
+
+        return bool(probe(leaf_vals, rw_re, rw_im))
+    except Exception:
+        return False
+
+
 def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
                         wtiles: int, S: int, nsteps: int, mf: int,
                         interpret: bool = False, measure_batched=None,
@@ -311,17 +400,22 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
     adapt_leaves = [i for i in dleaf if getattr(leaves[i].leaf, "adapt",
                                                 False)]
     Ls = {i: level_size(leaves[i].leaf.nhist) for i in dleaf}
-    # flattened observable components (custom measure path)
+    # flattened observable components (custom measure path); complex proto
+    # leaves expand to consecutive (re, im) component groups — exactly the
+    # flattening order of the realified measure's (re, im) output tuples
     if measure_batched is not None:
         proto_leaves, proto_def = jax.tree_util.tree_flatten(obs_proto)
-        comp_shapes = [np.shape(x) for x in proto_leaves]
+        comp_infos = [(np.shape(x), bool(np.iscomplexobj(x)))
+                      for x in proto_leaves]
+        comp_shapes = []
+        for s, iscpx in comp_infos:
+            comp_shapes += [s, s] if iscpx else [s]
         ncomp = sum(max(int(np.prod(s)), 1) for s in comp_shapes)
     else:
         # complex weights run as (re, im) pairs: component 2i = Re w_i,
         # component 2i+1 = Im w_i (reference treats re/im as independent
         # channels, src/statistics.jl:24-55)
         ncomp = 2 * n if cplx else n
-    assert not (cplx and measure_batched is not None)
 
     # weight algebra over scalars (real) or (re, im) pairs (complex)
     if cplx:
@@ -805,12 +899,24 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
 
         obs_b = outs[0]
         if measure_batched is not None:
-            # rebuild the observable pytree with leading [block] axis
+            # rebuild the observable pytree with leading [block] axis;
+            # complex proto leaves recombine their re/im component groups
+            # as encode_complex marker dicts (the axon TPU runtime cannot
+            # emit complex jit outputs — engine.py:293-307), decoded by
+            # decode_complex_numpy in VegasMCIteration.run
+            from ..solvers.engine import _CPLX_IM, _CPLX_RE
+
             cols, k = [], 0
-            for shape in comp_shapes:
+            for shape, iscpx in comp_infos:
                 m = max(int(np.prod(shape)), 1)
-                cols.append(obs_b[:, k:k + m].reshape((B,) + shape))
-                k += m
+                if iscpx:
+                    re = obs_b[:, k:k + m].reshape((B,) + shape)
+                    im = obs_b[:, k + m:k + 2 * m].reshape((B,) + shape)
+                    cols.append({_CPLX_RE: re, _CPLX_IM: im})
+                    k += 2 * m
+                else:
+                    cols.append(obs_b[:, k:k + m].reshape((B,) + shape))
+                    k += m
             obs_b = jax.tree_util.tree_unflatten(proto_def, cols)
         norm_b = outs[1][:, 0]
         visited = outs[2][0]

@@ -126,10 +126,21 @@ class VegasMCIteration:
                 measure_b = None
                 measure_ok = eval_b is not None
                 if measure is not None and measure_ok:
-                    measure_b = pallas_chain.make_measure_batched(
-                        spec, measure, weight_dtype, obs_proto)
-                    measure_ok = pallas_chain.validate_measure_batched(
-                        spec, measure_b, measure, obs_proto)
+                    if cplx:
+                        # complex custom measures: realified pair path
+                        try:
+                            measure_b = pallas_chain.make_measure_batched_pairs(
+                                spec, measure, obs_proto)
+                            measure_ok = \
+                                pallas_chain.validate_measure_batched_pairs(
+                                    spec, measure_b, measure, obs_proto)
+                        except Exception:
+                            measure_ok = False
+                    else:
+                        measure_b = pallas_chain.make_measure_batched(
+                            spec, measure, weight_dtype, obs_proto)
+                        measure_ok = pallas_chain.validate_measure_batched(
+                            spec, measure_b, measure, obs_proto)
                 # per-device shapes: `block` and `W` are already local.
                 # Pick the largest walker tile that (a) fits the requested
                 # walker budget without inflating it (which would shorten
@@ -161,7 +172,10 @@ class VegasMCIteration:
                         warmup=int(self.nsteps * self.warmup),
                         cplx=cplx)
                     self.backend = "pallas"
-                    self._pallas_cplx = cplx
+                    # default-measure complex uses the flat [B, 2n] re/im
+                    # column layout; custom-measure complex comes back as
+                    # encode_complex marker dicts (decoded generically)
+                    self._pallas_cplx = cplx and measure_b is None
                     rows_local = block * wtiles
 
                     if ndev > 1:

@@ -363,6 +363,49 @@ def test_chain_complex_statistical():
     assert abs(d) < 7 * max(s, 1e-9)
 
 
+def test_chain_complex_custom_measure():
+    """Complex custom measures run inside the chain kernel: the measure is
+    lifted through realify with (re, im) pair relative weights, complex
+    observable components accumulate as separate re/im channels and come
+    back as one complex vector observable (the oscillatory bubble shape:
+    Continuous time + Discrete external index)."""
+    from mcintegration_tpu.solvers.vegasmc import VegasMCIteration
+
+    Q = 3
+
+    def f(x, c):
+        t, d = x
+        return jnp.exp(1j * t[0])
+
+    def meas(v, relw, c):
+        t, d = v
+        onehot = (jnp.arange(1, Q + 1).reshape(Q, 1, 1) ==
+                  d[0][None]).astype(jnp.float32)
+        return [onehot * relw[0][None]]
+
+    # per external index q: int_0^1 e^{it} dt = sin(1) + i(1 - cos(1))
+    exact = np.sin(1.0) + 1j * (1.0 - np.cos(1.0))
+    obs = [np.zeros(Q, np.complex64)]
+    cfg = Configuration(var=(Continuous(0.0, 1.0), Discrete(1, Q)),
+                        dof=[[1, 1]], seed=4, obs=obs, type=complex)
+    spec = Spec(cfg)
+    it = VegasMCIteration(spec, f, block=4, nevalperblock=2 ** 15,
+                          backend="pallas", nwalkers=8192,
+                          weight_dtype=jnp.complex64,
+                          measure=meas, obs_proto=obs)
+    assert it.backend == "pallas"
+    st = it.run(spec.device_params(), jax.random.key(8))
+    nb = st["norm_blocks"]
+    ob = st["obs_blocks"][0]          # [block, Q] complex
+    assert np.iscomplexobj(ob)
+    for q in range(Q):
+        m = ob[:, q] / nb
+        er = m.real.std(ddof=1) / np.sqrt(len(m))
+        ei = m.imag.std(ddof=1) / np.sqrt(len(m))
+        assert abs(m.mean().real - exact.real) < 10 * max(er, 0.02), (q, m)
+        assert abs(m.mean().imag - exact.imag) < 10 * max(ei, 0.02), (q, m)
+
+
 def test_chain_integrate_adaptive():
     from mcintegration_tpu.main import integrate
 
