@@ -118,7 +118,13 @@ def integrate(integrand: Callable, *,
     # watch can fire with live acceptance tables between them.  Silent
     # runs keep the single-dispatch fast path.  Markov solvers run K
     # shorter chains per block lane (statistically valid; slightly more
-    # warmup overhead — a diagnostic-mode tradeoff).
+    # warmup overhead — a diagnostic-mode tradeoff).  The split count is a
+    # WALL-CLOCK policy: after the first iteration's wall time is known,
+    # the kernel is re-split so sub-dispatches last about half the
+    # shortest timer interval (capped at 256 splits to bound dispatch
+    # overhead), so `print`-second report intervals are honored regardless
+    # of iteration length — the analogue of the reference's every-1000-
+    # steps in-loop poll (src/utility/stopwatch.jl:11-29).
     nsplit = 4 if timers else 1
 
     # the reference's parallel=:thread/:nothread toggles intra-process
@@ -131,8 +137,6 @@ def integrate(integrand: Callable, *,
         nworker = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
     nevalperblock, block = _standardize_block(neval, block, nworker)
-    if nsplit > 1:
-        nevalperblock = max(nevalperblock // nsplit, 1)
 
     weight_dtype = jnp.complex64 if config.type is complex else dtype
     spec = Spec(config, dtype=dtype)
@@ -143,40 +147,47 @@ def integrate(integrand: Callable, *,
                         str(solver).lstrip(":"), weight_dtype)
 
     solver = str(solver).lstrip(":")
+    kernel_kind = solver
     if solver in ("vegas+", "vegasplus"):
-        from .solvers.vegasplus import VegasPlusIteration
         solver = "vegas"  # downstream (reweight/train) semantics are :vegas
-        it_kernel = VegasPlusIteration(
-            spec, integrand, measure=measure, inplace=inplace,
-            measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
-            mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable,
-            backend=backend)
-    elif solver == "vegas":
-        it_kernel = VegasIteration(
-            spec, integrand, measure=measure, inplace=inplace,
-            measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
-            mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable,
-            backend=backend)
-    elif solver == "vegasmc":
-        from .solvers.vegasmc import VegasMCIteration
-        it_kernel = VegasMCIteration(
-            spec, integrand, measure=measure, inplace=inplace,
-            measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
-            mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable,
-            nwalkers=nwalkers, min_steps_per_walker=min_steps_per_walker,
-            backend=backend,
-            warmup=0.01 if warmup is None else warmup)
-    elif solver == "mcmc":
-        from .solvers.mcmc import MCMCIteration
-        it_kernel = MCMCIteration(
-            spec, integrand, measure=measure,
-            measurefreq=measurefreq, block=block, nevalperblock=nevalperblock,
-            mesh=mesh, weight_dtype=weight_dtype, obs_proto=config.observable,
-            thermal_ratio=thermal_ratio,
-            nwalkers=nwalkers, min_steps_per_walker=min_steps_per_walker,
-            backend=backend)
-    else:
-        raise ValueError(f"Solver {solver} is not supported!")
+
+    def build_kernel(npb):
+        if kernel_kind in ("vegas+", "vegasplus"):
+            from .solvers.vegasplus import VegasPlusIteration
+            return VegasPlusIteration(
+                spec, integrand, measure=measure, inplace=inplace,
+                measurefreq=measurefreq, block=block, nevalperblock=npb,
+                mesh=mesh, weight_dtype=weight_dtype,
+                obs_proto=config.observable, backend=backend)
+        if kernel_kind == "vegas":
+            return VegasIteration(
+                spec, integrand, measure=measure, inplace=inplace,
+                measurefreq=measurefreq, block=block, nevalperblock=npb,
+                mesh=mesh, weight_dtype=weight_dtype,
+                obs_proto=config.observable, backend=backend)
+        if kernel_kind == "vegasmc":
+            from .solvers.vegasmc import VegasMCIteration
+            return VegasMCIteration(
+                spec, integrand, measure=measure, inplace=inplace,
+                measurefreq=measurefreq, block=block, nevalperblock=npb,
+                mesh=mesh, weight_dtype=weight_dtype,
+                obs_proto=config.observable,
+                nwalkers=nwalkers, min_steps_per_walker=min_steps_per_walker,
+                backend=backend,
+                warmup=0.01 if warmup is None else warmup)
+        if kernel_kind == "mcmc":
+            from .solvers.mcmc import MCMCIteration
+            return MCMCIteration(
+                spec, integrand, measure=measure,
+                measurefreq=measurefreq, block=block, nevalperblock=npb,
+                mesh=mesh, weight_dtype=weight_dtype,
+                obs_proto=config.observable,
+                thermal_ratio=thermal_ratio,
+                nwalkers=nwalkers, min_steps_per_walker=min_steps_per_walker,
+                backend=backend)
+        raise ValueError(f"Solver {kernel_kind} is not supported!")
+
+    it_kernel = build_kernel(max(nevalperblock // nsplit, 1))
 
     base_key = jax.random.key(config.seed)
     progress = ProgressBar(niter * block, desc=f"iters x blocks: ",
@@ -188,10 +199,13 @@ def integrate(integrand: Callable, *,
         params = spec.device_params()
         key = jax.random.fold_in(base_key, it)
         stats = None
+        sub0_end = None
         for sub in range(nsplit):
             sub_key = (key if nsplit == 1
                        else jax.random.fold_in(key, sub + 1))
             stats_k = it_kernel.run(params, sub_key)
+            if sub == 0:
+                sub0_end = time.time()
             if debug:
                 from .debug import check_iteration_stats
                 check_iteration_stats(stats_k, it)
@@ -242,6 +256,22 @@ def integrate(integrand: Callable, *,
         progress.update(block, evals=stats["neval"])
         for t in timers:
             t.check(config)
+
+        # ---- wall-clock split policy (module comment at nsplit) ----
+        # After the first iteration's wall time is known, re-split so the
+        # timers are polled ~2x per interval.  One kernel rebuild total;
+        # the recompile amortizes over the remaining iterations (only
+        # rebuilt when it buys at least 2x finer polling).
+        ints = [t.interval for t in timers if hasattr(t, "interval")]
+        if ints and it == 0 and niter > 1 and nsplit > 1:
+            # steady-state iteration wall time, excluding the first
+            # sub-dispatch (it carries the one-off compile)
+            t_iter = (time.time() - sub0_end) * nsplit / (nsplit - 1)
+            want = int(np.clip(np.ceil(t_iter / max(min(ints) * 0.5, 0.05)),
+                               1, 256))
+            if want >= 2 * nsplit:
+                nsplit = want
+                it_kernel = build_kernel(max(nevalperblock // nsplit, 1))
 
     result = Result(results, ignore, config=config)
     if verbose >= 0:

@@ -1,5 +1,7 @@
 """Interface smoke tests (mirrors reference test/interface_tests.jl)."""
 
+import time
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -88,3 +90,41 @@ def test_midrun_timer_polls():
     # nsplit=4: 3 mid-iteration polls + 1 end-of-iteration poll per iter
     assert len(calls) == 8, calls
     assert calls[0] < calls[3] <= calls[-1]
+
+
+def test_wall_clock_timer_resplit():
+    """The sub-dispatch split is a wall-clock policy: when iterations run
+    long relative to the shortest timer interval, iterations 2+ re-split
+    so `print`-second report intervals are honored regardless of
+    iteration length (reference: in-loop StopWatch poll every 1000 steps,
+    src/utility/stopwatch.jl:11-29)."""
+    from mcintegration_tpu.utils import StopWatch
+
+    common = dict(neval=2 ** 21, niter=3, block=4,
+                  var=Continuous(0.0, 1.0), dof=[[1]], solver="vegasmc",
+                  verbose=-2, seed=6, nwalkers=4096, backend="xla")
+
+    # calibrate: sampling wall time per iteration, post-compile
+    marks = []
+    integrate(lambda x, c: x[0],
+              timer=[StopWatch(1e9, lambda *a: None)],
+              **{**common, "niter": 2})
+    t0 = time.time()
+    integrate(lambda x, c: x[0] * 1.0,
+              timer=[type("P", (), {"check":
+                                    lambda self, *a: marks.append(1)})()],
+              **common)
+    t_iter = (time.time() - t0) / 3          # incl. its own compile: upper
+    interval = max(t_iter / 8, 0.02)         # ~8 polls/iteration wanted
+
+    calls = []
+    watch = StopWatch(interval, lambda cfg, *a: calls.append(time.time()))
+    t0 = time.time()
+    integrate(lambda x, c: x[0] * 1.0, timer=[watch], **common)
+    spanned = time.time() - t0
+    # a fixed nsplit=4 fires at most 4 polls/iteration; the wall-clock
+    # policy must fire substantially during iterations 2-3 after the
+    # resplit.  Gate well below the ideal spanned/interval to stay
+    # deterministic across machine speeds.
+    required = max(3, min(8, int(spanned / interval / 4)))
+    assert len(calls) >= required, (len(calls), required, interval, spanned)
