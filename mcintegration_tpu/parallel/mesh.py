@@ -64,6 +64,25 @@ def mesh_size(mesh: Optional[Mesh]) -> int:
     return int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
 
+def ordered_psum(x, axis: str):
+    """Topology-independent statistics all-reduce: all_gather then sum in
+    mesh-axis order.
+
+    ``lax.psum``'s float reduction order depends on the collective's
+    topology, so a 2-process x 2-device run and a 1-process x 4-device run
+    of the same mesh size can differ in the last ulp — which feeds back
+    through grid training and breaks bit-for-bit reproducibility across
+    process layouts (the equality the reference asserts rank-by-rank in
+    test/mpi_test.jl:73-146).  Gathering the per-device partials [ndev, ...]
+    and summing over the leading axis fixes the order to mesh order on
+    every device identically.  Statistics payloads are KB-scale
+    (SURVEY.md §5), so the extra bandwidth is noise.
+    """
+    import jax.numpy as jnp
+
+    return jnp.sum(jax.lax.all_gather(x, axis), axis=0)
+
+
 def distribute_rows(mesh: Optional[Mesh], rows: np.ndarray):
     """Turn a host-replicated [n, ...] array into a global array sharded over
     the mesh's first axis.  Single-process: pass through (jit auto-shards).

@@ -39,7 +39,7 @@ from jax.sharding import PartitionSpec as P
 from ..common import TINY_F32
 from ..ops import ksum
 from ..ops.grid import uniform_open01
-from ..parallel.mesh import distribute_rows, gather_rows
+from ..parallel.mesh import distribute_rows, gather_rows, ordered_psum
 from .engine import (Spec, accumulate_hists, decode_complex_numpy,
                      encode_complex, gather_slot, scatter_slot, take_rows,
                      zero_hists)
@@ -159,12 +159,12 @@ class MCMCIteration:
                             def local(params, kd):
                                 (o, nb, vis, hists, pc, ac,
                                  ev) = run_all_pallas(params, kd)
-                                vis = jax.lax.psum(vis, axis)
-                                hists = [jax.lax.psum(h, axis)
+                                vis = ordered_psum(vis, axis)
+                                hists = [ordered_psum(h, axis)
                                          for h in hists]
-                                pc = jax.lax.psum(pc, axis)
-                                ac = jax.lax.psum(ac, axis)
-                                ev = jax.lax.psum(ev, axis)
+                                pc = ordered_psum(pc, axis)
+                                ac = ordered_psum(ac, axis)
+                                ev = ordered_psum(ev, axis)
                                 return o, nb, vis, hists, pc, ac, ev
 
                             return jax.shard_map(
@@ -518,10 +518,10 @@ class MCMCIteration:
                 def local(params, kd):
                     key0 = jax.random.wrap_key_data(kd[0])
                     obs_b, norm_b, visited, hists, pc, ac = run_all(params, key0)
-                    visited = jax.lax.psum(visited, axis)
-                    hists = [jax.lax.psum(h, axis) for h in hists]
-                    pc = jax.lax.psum(pc, axis)
-                    ac = jax.lax.psum(ac, axis)
+                    visited = ordered_psum(visited, axis)
+                    hists = [ordered_psum(h, axis) for h in hists]
+                    pc = ordered_psum(pc, axis)
+                    ac = ordered_psum(ac, axis)
                     return obs_b, norm_b, visited, hists, pc, ac
 
                 return jax.shard_map(

@@ -44,7 +44,7 @@ from ..ops.grid import uniform_open01
 from ..ops.lookup import level_size, onehot_accumulate, two_level_take
 from ..models.variable import Continuous, Discrete, FermiK
 from .engine import Spec, decode_complex_numpy, encode_complex, zero_hists
-from ..parallel.mesh import distribute_rows, gather_rows
+from ..parallel.mesh import distribute_rows, gather_rows, ordered_psum
 
 
 def _tree_sum_last(tree):
@@ -347,7 +347,7 @@ class VegasIteration:
             def sharded(params, block_keys):
                 def local(params, keys):
                     obs_b, norm_b, hists = run_all(params, keys)
-                    hists = [jax.lax.psum(h, axis) for h in hists]
+                    hists = [ordered_psum(h, axis) for h in hists]
                     return obs_b, norm_b, hists
 
                 return jax.shard_map(

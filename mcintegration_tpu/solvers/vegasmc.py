@@ -32,7 +32,7 @@ from jax.sharding import PartitionSpec as P
 from ..common import TINY_F32
 from ..ops import ksum
 from ..ops.grid import uniform_open01
-from ..parallel.mesh import distribute_rows, gather_rows
+from ..parallel.mesh import distribute_rows, gather_rows, ordered_psum
 from .engine import (
     Spec,
     accumulate_hists,
@@ -185,10 +185,10 @@ class VegasMCIteration:
                             def local(params, kd):
                                 o, nb, vis, hists, pc, ac = run_all_pallas(
                                     params, kd)
-                                vis = jax.lax.psum(vis, axis)
-                                hists = [jax.lax.psum(h, axis) for h in hists]
-                                pc = jax.lax.psum(pc, axis)
-                                ac = jax.lax.psum(ac, axis)
+                                vis = ordered_psum(vis, axis)
+                                hists = [ordered_psum(h, axis) for h in hists]
+                                pc = ordered_psum(pc, axis)
+                                ac = ordered_psum(ac, axis)
                                 return o, nb, vis, hists, pc, ac
 
                             return jax.shard_map(
@@ -386,10 +386,10 @@ class VegasMCIteration:
                 def local(params, kd):
                     key0 = jax.random.wrap_key_data(kd[0])
                     obs_b, norm_b, visited, hists, pc, ac = run_all(params, key0)
-                    visited = jax.lax.psum(visited, axis)
-                    hists = [jax.lax.psum(h, axis) for h in hists]
-                    pc = jax.lax.psum(pc, axis)
-                    ac = jax.lax.psum(ac, axis)
+                    visited = ordered_psum(visited, axis)
+                    hists = [ordered_psum(h, axis) for h in hists]
+                    pc = ordered_psum(pc, axis)
+                    ac = ordered_psum(ac, axis)
                     return obs_b, norm_b, visited, hists, pc, ac
 
                 return jax.shard_map(

@@ -56,7 +56,7 @@ from ..ops.grid import uniform_open01
 from ..ops.lookup import onehot_accumulate, padded_hist_size, two_level_take
 from ..models.variable import Continuous
 from .engine import Spec, decode_complex_numpy, encode_complex, zero_hists
-from ..parallel.mesh import distribute_rows, gather_rows
+from ..parallel.mesh import distribute_rows, gather_rows, ordered_psum
 
 
 class VegasPlusIteration:
@@ -319,8 +319,8 @@ class VegasPlusIteration:
             def sharded(params, kd):
                 def local(params, kd):
                     obs_b, norm_b, hists, sig = run_all(params, kd)
-                    hists = [jax.lax.psum(h, axis) for h in hists]
-                    sig = jax.lax.psum(sig, axis)
+                    hists = [ordered_psum(h, axis) for h in hists]
+                    sig = ordered_psum(sig, axis)
                     return obs_b, norm_b, hists, sig
 
                 return jax.shard_map(
@@ -385,8 +385,8 @@ class VegasPlusIteration:
                 def local(cube_of_lane, invlf, coarse_tabs, kd):
                     obs_b, sig, hists = run_all(cube_of_lane, invlf,
                                                 coarse_tabs, kd)
-                    sig = jax.lax.psum(sig, axis)
-                    hists = [jax.lax.psum(h, axis) for h in hists]
+                    sig = ordered_psum(sig, axis)
+                    hists = [ordered_psum(h, axis) for h in hists]
                     return obs_b, sig, hists
 
                 return jax.shard_map(
