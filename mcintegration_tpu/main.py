@@ -188,6 +188,9 @@ def integrate(integrand: Callable, *,
         raise ValueError(f"Solver {kernel_kind} is not supported!")
 
     it_kernel = build_kernel(max(nevalperblock // nsplit, 1))
+    if verbose > 0 and getattr(it_kernel, "resolution_note", ""):
+        import sys
+        sys.stdout.write(yellow(it_kernel.resolution_note + "\n"))
 
     base_key = jax.random.key(config.seed)
     progress = ProgressBar(niter * block, desc=f"iters x blocks: ",

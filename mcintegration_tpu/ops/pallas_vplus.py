@@ -305,7 +305,11 @@ def build_vplus_run_all(spec, plan: dict, eval_batched: Callable, *,
             for i in range(n):
                 s = jnp.abs(relw[i])
                 score = s if score is None else score + s
-            sig_c = sig_c + jnp.minimum(score, 1e17) ** 2
+            # clip in MAP-DENSITY units for parity with the XLA path
+            # (vegasplus.py wj_map = min(score/denom, 1e17)): relw carries
+            # the per-lane factor inv_lfac, so fold it into the threshold
+            # — the effective clip is then cube-independent
+            sig_c = sig_c + jnp.minimum(score, 1e17 * inv_lfac) ** 2
 
             # -- training histograms, subsampled (lane-local, no scatter;
             #    accumulated straight into the resident output block) --
@@ -318,11 +322,16 @@ def build_vplus_run_all(spec, plan: dict, eval_batched: Callable, *,
                     sw = None
                     for i in range(n):
                         if mask[i]:
-                            wj2 = jnp.minimum(jnp.abs(relw[i]), 1e17) ** 2
+                            wj2 = jnp.minimum(jnp.abs(relw[i]),
+                                              1e17 * inv_lfac) ** 2
                             sw = wj2 if sw is None else sw + wj2
                     if sw is None:
                         continue
-                    sw = sw * float(hk)
+                    # exact inverse sampling fraction: chunks t=0,hk,2hk,...
+                    # are ceil(nchunks/hk) of nchunks, NOT nchunks/hk — the
+                    # old *hk scale over-weighted by hk*ceil(nchunks/hk)/
+                    # nchunks when nchunks % hk != 0
+                    sw = sw * (float(nchunks) / float(-(-nchunks // hk)))
                     R = Rs[d]
                     for r in range(R):
                         sel = (js[d] == r).astype(f32) if R > 1 else 1.0

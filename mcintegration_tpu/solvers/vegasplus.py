@@ -374,6 +374,20 @@ class VegasPlusIteration:
         self.ncubes = plan["ncubes"]
         self.nevalperblock = plan["NL"] * plan["spp"]
         self.lanes = self._uniform_lanes()
+        # surface the effective map-adaptation resolution: the fused path
+        # coarsens each dim's Vegas map to ninc_eff = nstrat*R bins
+        # (unbiased — run() smears the coarse histogram back — but
+        # adaptation quality for sharply peaked integrands can differ from
+        # the XLA path's full-ninc training); main.integrate prints this
+        # at verbose>0 and it is inspectable on the iteration object
+        coarse = [(spec.leaves[lidx].leaf.ninc, eff)
+                  for (lidx, _), eff in zip(plan["dims"], plan["ninc_effs"])
+                  if spec.leaves[lidx].leaf.ninc != eff]
+        self.resolution_note = (
+            "vegas+ fused kernel trains at effective resolution "
+            + ", ".join(f"{eff}/{ninc}" for ninc, eff in coarse)
+            + " (ninc_eff/ninc per dim); backend='xla' restores full-ninc "
+            "adaptation" if coarse else "")
         B_local = block // ndev
         run_all = pallas_vplus.build_vplus_run_all(
             spec, plan, eval_b, block=B_local, interpret=interp)
