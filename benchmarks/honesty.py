@@ -2,12 +2,21 @@
 
 Over N seeds, compares the empirical seed-to-seed spread of the estimate
 with the mean reported stderr (block-spread error bars, the same statistic
-Result reports).  Honest errors give ratio r ~= 1 +- 1/sqrt(2N).  The
-lattice-roll proposal correlates walkers within a block, which inflates
-the TRUE spread at short chains — the reported error must track it
-(documented in BENCHMARKS.md; CI gate: tests/test_honesty.py).
+Result reports).  Honest errors give ratio r ~= 1 +- 1/sqrt(2N) — the
+sampling uncertainty of r itself is printed with each row, because it is
+the dominant effect at small N: the round-2/3 record of "0.76 at 32768
+steps" was a 32-seed estimate (+-0.125) that re-measures at 0.92/0.96
+(+-0.044 each, two independent 256-seed sets on the chip; pooled
+0.94+-0.03).  Long-chain error bars are honest to within ~6%; the
+residual is a weak (~ -2% pairwise, <2 sigma) anti-correlation between
+block estimates, not accumulator bias (the XLA-path control at the same
+shape reads 1.19+-0.13).  The lattice-roll proposal correlates walkers
+within a block, which inflates the TRUE spread at short chains — the
+reported error must track it (documented in BENCHMARKS.md; CI gate:
+tests/test_honesty.py).
 
-Run: python benchmarks/honesty.py [nseeds]
+Run: python benchmarks/honesty.py [nseeds]   (nseeds scales the per-row
+seed count; the default gives +-0.044 resolution at 32768 steps)
 Reference statistic being validated: block error bars,
 /root/reference/src/vegas_mc/montecarlo.jl:233-241 + src/statistics.jl.
 """
@@ -67,18 +76,22 @@ def honesty(nsteps: int, nseeds: int, nwalkers: int = 8192, block: int = 8):
 
 
 def main():
-    nseeds = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    print(f"{nseeds} seeds, 8192 walkers, :vegasmc Pallas chain kernel, "
+    base = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    print(f"8192 walkers, :vegasmc Pallas chain kernel, "
           f"2-D pi integrand (exact {EXACT:.6f})")
-    print(f"{'steps/walker':>13s} {'spread':>10s} {'reported':>10s} "
-          f"{'ratio':>7s} {'max|z|':>7s} {'Mevals/s':>9s}")
-    for nsteps in (512, 4096, 32768):
+    print(f"{'steps/walker':>13s} {'nseeds':>6s} {'spread':>10s} "
+          f"{'reported':>10s} {'ratio':>12s} {'max|z|':>7s} {'Mevals/s':>9s}")
+    # more seeds at longer chains: the ratio's own noise 1/sqrt(2N) is the
+    # dominant effect there (a 32-seed estimate once read 0.76 where the
+    # 512-seed truth is 0.94 +- 0.03)
+    for nsteps, nseeds in ((512, base // 4), (4096, base // 2),
+                           (32768, base)):
         h = honesty(nsteps, nseeds)
-        print(f"{h['steps_per_walker']:13d} {h['spread']:10.2e} "
-              f"{h['reported']:10.2e} {h['ratio']:7.2f} "
+        sd = 1 / np.sqrt(2 * nseeds)
+        print(f"{h['steps_per_walker']:13d} {nseeds:6d} {h['spread']:10.2e} "
+              f"{h['reported']:10.2e} {h['ratio']:7.2f}+-{sd:.2f} "
               f"{h['max_abs_z']:7.2f} {h['evals_per_s'] / 1e6:9.0f}")
-    print("honest errors: ratio ~= 1 +- %.2f (1/sqrt(2N))" %
-          (1 / np.sqrt(2 * nseeds)))
+    print("honest errors: ratio ~= 1 within its printed +- band")
 
 
 if __name__ == "__main__":

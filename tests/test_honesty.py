@@ -69,8 +69,13 @@ def test_chain_error_bar_honesty():
     # honest errors r concentrates near 1 with sd ~0.2; the gate catches a
     # systematic 1.5x+ under- or over-estimate while staying deterministic
     # (fixed seeds).
+    # The round-3 verdict's "0.76 at 32768 steps" re-measures at 0.94+-0.03
+    # (two independent 256-seed sets on-chip, benchmarks/honesty.py): the
+    # low reading was 32-seed estimator noise, not a kernel defect.  The
+    # deterministic value of r on this fixed-seed CPU path is 1.03, so the
+    # lower gate tightens 0.55 -> 0.75 per the round-3 ask.
     r = np.sqrt(means.var(ddof=1) / np.mean(errs ** 2))
-    assert 0.55 < r < 1.6, (
+    assert 0.75 < r < 1.6, (
         f"reported error bars dishonest: spread/reported = {r:.2f} "
         f"(spread {means.std(ddof=1):.2e}, reported {np.mean(errs):.2e})")
 
