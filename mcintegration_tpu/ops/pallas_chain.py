@@ -81,6 +81,27 @@ def obs_components(obs_proto):
                for x in jtu.tree_leaves(obs_proto))
 
 
+def kahan_add(s, c, inc):
+    """One compensated f32 accumulation step (classic Kahan summation).
+
+    Long per-walker chains break naive f32 running sums: at 2^16
+    steps/walker the per-add rounding error is SYSTEMATIC (constant-
+    magnitude increments like sign(w)/reweight produce a drifting, not
+    random, rounding pattern), bounded by ~n/2 * 2^-24 relative — measured
+    as a -11 sigma bias on the pi/4 anchor at neval=2^32 before this fix
+    (round 4).  The reference never sees this because Julia accumulates
+    observables in f64 (src/mcmc/montecarlo.jl:158-170); the TPU-native
+    equivalent is compensated f32: same VMEM footprint per accumulator
+    pair, error O(1) ULP independent of chain length.
+
+    Returns (sum', comp').  The running value is sum'; comp' carries the
+    low-order residual into the next add.
+    """
+    y = inc - c
+    t = s + y
+    return t, (t - s) - y
+
+
 def wide_discrete_draw(u, ccdf_ref, cf_ref, df_ref, nbin, S, LN):
     """Two-level threshold-count CDF inversion for Discrete pools with
     DISC_DIRECT_NBIN < nbin <= MAX_DISCRETE_NBIN (sampler.jl:13-22 law).
@@ -184,8 +205,9 @@ def chain_eligible(spec, *, measure, weight_dtype, obs_proto=None,
     n, nd, nvar = spec.N, spec.N + 1, spec.nvar
     nslots = sum(li.ndraw for li in drawn)
     tile = S * 128 * 4
-    tiles = (6 * nslots + (4 if cplx else 2) * n + ncomp + 3 * nd
-             + 2 * nvar + 10)
+    # 2*ncomp: observable accumulators + their Kahan compensation tiles
+    tiles = (6 * nslots + (4 if cplx else 2) * n + 2 * ncomp + 3 * nd
+             + 2 * nvar + 11)
     bases = sum(2 * N_LATTICE * tile for li in drawn
                 if isinstance(li.leaf, Continuous))
     hists = sum(level_size(li.leaf.nhist) ** 2 * 4 for li in drawn
@@ -660,6 +682,11 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
             vals=vals, gidxs=gidxs, probs=probs,
             weights=list(weights), pads=list(pads), p=p,
             obs=[zero] * ncomp, nrm=zero, vis=[zero] * nd,
+            # Kahan compensation registers for the long-chain accumulators
+            # (kahan_add docstring; pc/ac/vis-at-step-start add exact-in-f32
+            # 1.0-like increments or feed only reweighting, so they stay
+            # uncompensated)
+            obs_c=[zero] * ncomp, nrm_c=zero,
             pc=[zero] * nvar, ac=[zero] * nvar,
         )
 
@@ -757,6 +784,7 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
             measured = ((t % mf) == 0) & (t >= warmup)
             mw = jnp.where(measured, 1.0, 0.0).astype(f32)
             obs = list(carry["obs"])
+            obs_c = list(carry["obs_c"])
             vis = list(carry["vis"])
             relws = []
             for i in range(n):
@@ -767,30 +795,38 @@ def build_chain_run_all(spec, eval_batched: Callable, *, block: int,
             if measure_batched is None:
                 if cplx:
                     for i in range(n):
-                        obs[2 * i] = obs[2 * i] + relws[i][0] * mw
-                        obs[2 * i + 1] = obs[2 * i + 1] + relws[i][1] * mw
+                        obs[2 * i], obs_c[2 * i] = kahan_add(
+                            obs[2 * i], obs_c[2 * i], relws[i][0] * mw)
+                        obs[2 * i + 1], obs_c[2 * i + 1] = kahan_add(
+                            obs[2 * i + 1], obs_c[2 * i + 1],
+                            relws[i][1] * mw)
                 else:
                     for i in range(n):
-                        obs[i] = obs[i] + relws[i] * mw
+                        obs[i], obs_c[i] = kahan_add(obs[i], obs_c[i],
+                                                     relws[i] * mw)
             else:
                 contrib = measure_batched(leaf_vals_of(vals), relws)
                 k = 0
                 for leafv, shape in zip(jax.tree_util.tree_leaves(contrib),
                                         comp_shapes):
                     if shape == ():
-                        obs[k] = obs[k] + leafv * mw
+                        obs[k], obs_c[k] = kahan_add(obs[k], obs_c[k],
+                                                     leafv * mw)
                         k += 1
                     else:
                         for idx in np.ndindex(shape):
-                            obs[k] = obs[k] + leafv[idx] * mw
+                            obs[k], obs_c[k] = kahan_add(obs[k], obs_c[k],
+                                                         leafv[idx] * mw)
                             k += 1
             norm_w = pads[norm] / p
-            nrm = carry["nrm"] + norm_w * mw
+            nrm, nrm_c = kahan_add(carry["nrm"], carry["nrm_c"],
+                                   norm_w * mw)
             vis[norm] = vis[norm] + rw_ref[norm] * norm_w * mw
 
             return dict(vals=vals, gidxs=gidxs, probs=probs,
                         weights=weights, pads=pads, p=p,
-                        obs=obs, nrm=nrm, vis=vis, pc=pc, ac=ac)
+                        obs=obs, nrm=nrm, vis=vis, pc=pc, ac=ac,
+                        obs_c=obs_c, nrm_c=nrm_c)
 
         carry = jax.lax.fori_loop(0, nsteps, step, carry)
 

@@ -95,7 +95,8 @@ from ..common import DENS_FLOOR_F32, TINY_F32
 from .pallas_vegas import _mix32, build_view
 
 from .pallas_chain import (DISC_BLK, DISC_DIRECT_NBIN, MAX_DISCRETE_NBIN,
-                           wide_discrete_draw, wide_discrete_tables)
+                           kahan_add, wide_discrete_draw,
+                           wide_discrete_tables)
 
 HIST_EVERY = 8    # histogram subsample period (pallas_chain.py docstring)
 N_LATTICE = 8     # precomputed multiplier lattices per leaf (decorrelation)
@@ -171,8 +172,10 @@ def mcmc_eligible(spec, *, measure, weight_dtype, obs_proto=None,
     tile = S * 128 * 4
     slot_tiles = sum(li.ndraw * (3 * _leaf_width(li.leaf) + 6)
                      for li in drawn)
-    tiles = (slot_tiles + (4 if cplx else 2) * n + ncomp + 2 * nd
-             + nvar + 24)
+    # 2*ncomp: observable accumulators (carry or measure scratch) + their
+    # Kahan compensation tiles
+    tiles = (slot_tiles + (4 if cplx else 2) * n + 2 * ncomp + 2 * nd
+             + nvar + 25)
     bases = 2 * N_LATTICE * tile * ncont
     hists = sum(level_size(li.leaf.nhist) ** 2 * 4 for li in drawn
                 if getattr(li.leaf, "adapt", False))
@@ -483,10 +486,12 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         o += 6
         hist_refs = {lidx: refs[o + k] for k, lidx in enumerate(adapt_leaves)}
         if measure_b is not None:
-            neww_ref, mobs_ref = refs[-2], refs[-1]   # scratch
+            # scratch: eval buffer + measure accumulator + its Kahan
+            # compensation buffer (kahan_add docstring, pallas_chain.py)
+            neww_ref, mobs_ref, mcmp_ref = refs[-3], refs[-2], refs[-1]
         else:
             neww_ref = refs[-1]   # scratch
-            mobs_ref = None
+            mobs_ref = mcmp_ref = None
 
         b = pl.program_id(0)
         wt = pl.program_id(1)
@@ -782,6 +787,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         zeroi = zero.astype(i32)
         if measure_b is not None:
             mobs_ref[...] = jnp.zeros((ncomp, S, LN), f32)
+            mcmp_ref[...] = jnp.zeros((ncomp, S, LN), f32)
         carry = dict(
             vals=vals, gidxs=gidxs, probs=probs,
             weight=weight, prob=prob_reg,
@@ -793,7 +799,10 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             adjb=[zeroi + adjb_ref[0, w] for w in range(nwords)],
             dof=[zeroi + dof_ref[0, g] for g in range(nvar)],
             obs=([zero] * ncomp if measure_b is None else []),
-            nrm=zero, vis=[zero] * nd,
+            # Kahan compensation for the long-chain accumulators
+            # (kahan_add docstring, pallas_chain.py); vis adds exact 1.0s
+            obs_c=([zero] * ncomp if measure_b is None else []),
+            nrm=zero, nrm_c=zero, vis=[zero] * nd,
             evcnt=jnp.float32(0.0),
         )
 
@@ -1094,6 +1103,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             mw = jnp.where(measured, 1.0, 0.0).astype(f32)
             in_norm = (curr == norm)
             obs = list(carry["obs"])
+            obs_c = list(carry["obs_c"])
             if measure_b is None:
                 # weight/probability = sign(weight)/reweight[curr]
                 # (montecarlo.jl:160-170); norm walkers: weight 0 -> sign 0
@@ -1107,13 +1117,18 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                     c_im = weight[1] * inv_abs * invr * mw
                     for i in range(n):
                         sel = (curr == i)
-                        obs[2 * i] = obs[2 * i] + jnp.where(sel, c_re, 0.0)
-                        obs[2 * i + 1] = obs[2 * i + 1] + jnp.where(
-                            sel, c_im, 0.0)
+                        obs[2 * i], obs_c[2 * i] = kahan_add(
+                            obs[2 * i], obs_c[2 * i],
+                            jnp.where(sel, c_re, 0.0))
+                        obs[2 * i + 1], obs_c[2 * i + 1] = kahan_add(
+                            obs[2 * i + 1], obs_c[2 * i + 1],
+                            jnp.where(sel, c_im, 0.0))
                 else:
                     contrib = jnp.sign(weight) * invr * mw
                     for i in range(n):
-                        obs[i] = obs[i] + jnp.where(curr == i, contrib, 0.0)
+                        obs[i], obs_c[i] = kahan_add(
+                            obs[i], obs_c[i],
+                            jnp.where(curr == i, contrib, 0.0))
             else:
                 # custom measure: batched per-sector eval masked by
                 # curr == i, accumulated in VMEM scratch only at measured
@@ -1128,19 +1143,25 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                         sel = (curr == i)
                         ct = measure_b[i](leaf_vals, relw)
                         k = 0
+                        def _kadd_ref(k, inc):
+                            s, cmp_ = mobs_ref[k, :, :], mcmp_ref[k, :, :]
+                            t2, c2 = kahan_add(s, cmp_, inc)
+                            mobs_ref[k, :, :] = t2
+                            mcmp_ref[k, :, :] = c2
+
                         for leafv, shape in zip(
                                 jax.tree_util.tree_leaves(ct), comp_shapes):
                             if shape == ():
-                                mobs_ref[k, :, :] += jnp.where(sel, leafv,
-                                                               0.0)
+                                _kadd_ref(k, jnp.where(sel, leafv, 0.0))
                                 k += 1
                             else:
                                 for idxs in np.ndindex(shape):
-                                    mobs_ref[k, :, :] += jnp.where(
-                                        sel, leafv[idxs], 0.0)
+                                    _kadd_ref(k, jnp.where(sel, leafv[idxs],
+                                                           0.0))
                                     k += 1
-            nrm = carry["nrm"] + jnp.where(in_norm, 1.0 / rw_ref[norm],
-                                           0.0) * mw
+            nrm, nrm_c = kahan_add(
+                carry["nrm"], carry["nrm_c"],
+                jnp.where(in_norm, 1.0 / rw_ref[norm], 0.0) * mw)
 
             # ---- histogram: 1.0 per used slot, subsampled x hk ----
             @pl.when(measured & ((((t - nburnin) // mf) % hk) == 0))
@@ -1159,8 +1180,8 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                         weight=weight, prob=prob_reg, curr=curr,
                         rcur=rcur, invr=invr, degc=degc, picv=picv,
                         adjb=adjb, dof=dof,
-                        obs=obs, nrm=nrm, vis=vis,
-                        evcnt=evcnt)
+                        obs=obs, obs_c=obs_c, nrm=nrm, nrm_c=nrm_c,
+                        vis=vis, evcnt=evcnt)
 
         carry = jax.lax.fori_loop(0, ntot, step, carry)
 
@@ -1263,6 +1284,7 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
         scratch = [pltpu.VMEM((2, S, LN) if cplx else (S, LN), f32)]
         if measure_b is not None:
             scratch.append(pltpu.VMEM((ncomp, S, LN), f32))
+            scratch.append(pltpu.VMEM((ncomp, S, LN), f32))  # Kahan comp
 
         outs = pl.pallas_call(
             kernel,

@@ -220,6 +220,31 @@ def test_wide_discrete_draw_exact_law():
         assert np.allclose(np.asarray(prob), dist_np[want], rtol=1e-6), nbin
 
 
+def test_kahan_add_compensates_long_sums():
+    """kahan_add keeps f32 running sums exact where the naive sum drifts
+    systematically — the mechanism behind the -11 sigma mcmc bias at
+    neval=2^32 fixed in round 4 (constant-magnitude increments produce a
+    drifting rounding pattern at 2^16 adds; the reference accumulates in
+    f64, montecarlo.jl:158-170)."""
+    from mcintegration_tpu.ops.pallas_chain import kahan_add
+
+    inc = jnp.float32(1.0 / 3.0)          # full-mantissa constant increment
+    n = 1 << 16
+
+    def step(_, c):
+        (s, comp), naive = c
+        s, comp = kahan_add(s, comp, inc)
+        return (s, comp), naive + inc
+
+    (s, _), naive = jax.lax.fori_loop(
+        0, n, step, ((jnp.float32(0.0), jnp.float32(0.0)), jnp.float32(0.0)))
+    exact = n / 3.0
+    kahan_err = abs(float(s) - exact)
+    naive_err = abs(float(naive) - exact)
+    assert kahan_err < 1e-2, kahan_err               # O(1 ulp of the total)
+    assert naive_err > 10 * max(kahan_err, 1e-3), (naive_err, kahan_err)
+
+
 def test_chain_wide_discrete_pi_series():
     """The BASELINE config 'Discrete(1,100) pi Taylor series' rides the
     fused path: MAX_DISCRETE_NBIN lifted 32 -> 1024 via the two-level
