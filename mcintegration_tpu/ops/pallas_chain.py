@@ -134,6 +134,14 @@ def wide_discrete_draw(u, ccdf_ref, cf_ref, df_ref, nbin, S, LN):
             preferred_element_type=f32,
             precision=jax.lax.Precision.HIGHEST)
         local = jnp.sum((ub >= rowcdf).astype(i32), axis=1, keepdims=True)
+        # clamp into the last REAL bin: when f32 rounding leaves
+        # cdf[nbin] < 1, a u above it would otherwise walk into a zero-
+        # probability pad bin (prob 0 -> divide-by-zero in the chain's
+        # acceptance algebra; measured as a +5 sigma estimate bias on the
+        # wide-Discrete pi-series before this fix).  The narrow path
+        # (nbin-1 threshold counts) clamps by construction, as does the
+        # reference's `locate` bisection (common.jl:8-36).
+        local = jnp.minimum(local, (nbin - 1) - bb * DISC_BLK)
         rowp = jax.lax.dot_general(
             ohb, df_ref[:, :], (((1,), (0,)), ((), ())),
             preferred_element_type=f32,

@@ -220,6 +220,34 @@ def test_wide_discrete_draw_exact_law():
         assert np.allclose(np.asarray(prob), dist_np[want], rtol=1e-6), nbin
 
 
+def test_wide_discrete_draw_clamps_into_last_real_bin():
+    """u >= f32(cdf[nbin]) must land in the last REAL bin, never a zero-
+    probability pad bin.  f32 rounding of the cumulative sum can leave
+    cdf[nbin] < 1, and before the round-4 clamp a u drawn above it walked
+    into the pad region (prob 0 -> divide-by-zero in the chain acceptance,
+    measured as a +5 sigma bias on the wide-Discrete pi-series on-chip).
+    Reference semantics: `locate` bisection returns the last bin for
+    u >= cdf[end] (common.jl:8-36)."""
+    from mcintegration_tpu.ops.pallas_chain import (
+        wide_discrete_draw, wide_discrete_tables)
+
+    nbin = 100
+    # a cdf whose f32 top entry sits strictly below 1.0 (what f32 rounding
+    # of a cumulative sum can produce)
+    top32 = np.nextafter(np.float32(1.0), np.float32(0.0))
+    cdf32 = np.linspace(0.0, 1.0, nbin + 1).astype(np.float32)
+    cdf32[-1] = top32
+    cdf = jnp.asarray(cdf32, jnp.float32)
+    assert float(cdf32[-1]) < 1.0
+    S, LN = 8, 128
+    u = jnp.full((S, LN), np.nextafter(np.float32(1.0), np.float32(0.0)),
+                 jnp.float32)                      # largest u below 1
+    ccdf, cf, df = wide_discrete_tables(cdf, nbin)
+    gidx, prob = wide_discrete_draw(u, ccdf, cf, df, nbin, S, LN)
+    assert int(np.asarray(gidx).max()) == nbin - 1
+    assert float(np.asarray(prob).min()) > 0.0
+
+
 def test_kahan_add_compensates_long_sums():
     """kahan_add keeps f32 running sums exact where the naive sum drifts
     systematically — the mechanism behind the -11 sigma mcmc bias at
