@@ -868,19 +868,27 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
             # reverse (same sector).  picv is a per-walker register
             # (picv = 1/(deg_curr*C)), updated only on accepted jumps.
             nw, nb = divmod(norm, 31)                 # static word/bit
-            adjn = ((adjb[nw] >> nb) & 1) == 1        # adjacent to norm
+            adjn = (adjb[nw] & np.int32(1 << nb)) != 0    # adjacent to norm
             qw = jnp.where(adjn, picv * float(1.0 / n), 0.0)
             u_role = draw_u(t)
             norm_prop = adjn & (u_role < qw)
 
             at_jt = (curr == jt) & (u_role >= qw)
+            # bit-test via a SCALAR mask: shifting an (S,128) int tile by a
+            # traced scalar amount lowers to an expensive Mosaic sequence
+            # (measured ~2.3x per-step cost at nd=33 vs nd<=31); building
+            # 1<<jt on the scalar core and testing with tile AND/compare
+            # keeps the vector work shift-free.
             if nwords == 1:
-                is_adj = ((adjb[0] >> jt) & 1) == 1
+                m0 = jnp.int32(1) << jt
+                is_adj = (adjb[0] & m0) != 0
             else:                                     # jt is a traced scalar
                 jl = jnp.minimum(jt, 30)
                 jh = jnp.maximum(jt - 31, 0)
-                is_adj = jnp.where(jt < 31, (adjb[0] >> jl) & 1,
-                                   (adjb[1] >> jh) & 1) == 1
+                lo = jt < 31
+                m0 = jnp.where(lo, jnp.int32(1) << jl, jnp.int32(0))
+                m1 = jnp.where(lo, jnp.int32(0), jnp.int32(1) << jh)
+                is_adj = ((adjb[0] & m0) | (adjb[1] & m1)) != 0
             ci_prop = is_adj & (u_role >= qw) & (u_role < qw + picv)
 
             # CV/swap var-type and slot choices (updates.jl:72-147)

@@ -389,3 +389,19 @@ def zero_hists(spec: Spec, dtype=jnp.float32):
     from ..ops.lookup import padded_hist_size
 
     return [jnp.zeros(padded_hist_size(li.nhist), dtype) for li in spec.leaves]
+
+
+def fetch_stats(outs):
+    """One batched device->host fetch of an iteration's statistics pytree.
+
+    Over a remote-attached TPU (the axon tunnel) every blocking
+    ``np.asarray(device_array)`` costs a full round trip; a run() that
+    converts its ~7 outputs one by one pays ~7 RTTs per iteration —
+    measured as ~0.85 s/iteration of host overhead at N=32 integrands.
+    ``jax.device_get`` starts the copies for the WHOLE tree before
+    blocking, collapsing that to ~one RTT.  Multi-host runs keep their
+    shard-aware gather path (gather_rows/process_allgather) untouched.
+    """
+    if jax.process_count() > 1:
+        return outs
+    return jax.device_get(outs)

@@ -41,6 +41,7 @@ from ..ops import ksum
 from ..ops.grid import uniform_open01
 from ..parallel.mesh import distribute_rows, gather_rows, ordered_psum
 from .engine import (Spec, accumulate_hists, decode_complex_numpy,
+                     fetch_stats,
                      encode_complex, gather_slot, scatter_slot, take_rows,
                      zero_hists)
 from .vegasmc import choose_walkers
@@ -540,6 +541,10 @@ class MCMCIteration:
             self._fn = jax.jit(self.raw_fn)
             self._ndev = 1
 
+    def reset_state(self):
+        """Kernel-cache hook (main._KERNEL_CACHE): no run-to-run state."""
+        return None
+
     def run(self, params, key):
         spec = self.spec
         nd = spec.N + 1
@@ -549,8 +554,8 @@ class MCMCIteration:
             kd = np.asarray(jax.random.key_data(
                 jax.random.split(key, self._pallas_rows)))
             keys = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
-            obs_b, norm_b, visited, hists, pc, ac, evals = self._fn(
-                params, keys)
+            obs_b, norm_b, visited, hists, pc, ac, evals = fetch_stats(
+                self._fn(params, keys))
             obs_b = jax.tree_util.tree_map(gather_rows, obs_b)
             if getattr(self, "_pallas_cplx", False):
                 # kernel component layout: [.., 2i] = Re w_i, [.., 2i+1] = Im
@@ -576,7 +581,8 @@ class MCMCIteration:
         kd = np.asarray(jax.random.key_data(
             jax.random.split(key, self._ndev)))
         keys = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
-        obs_b, norm_b, visited, hists, prop_acc, acc_acc = self._fn(params, keys)
+        obs_b, norm_b, visited, hists, prop_acc, acc_acc = fetch_stats(
+            self._fn(params, keys))
         obs_b = decode_complex_numpy(jax.tree_util.tree_map(gather_rows, obs_b))
         norm_b = gather_rows(norm_b).astype(np.float64)
         propose = np.asarray(prop_acc, dtype=np.float64)

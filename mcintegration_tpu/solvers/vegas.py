@@ -43,7 +43,8 @@ from ..ops import ksum
 from ..ops.grid import uniform_open01
 from ..ops.lookup import level_size, onehot_accumulate, two_level_take
 from ..models.variable import Continuous, Discrete, FermiK
-from .engine import Spec, decode_complex_numpy, encode_complex, zero_hists
+from .engine import (Spec, decode_complex_numpy, encode_complex,
+                     fetch_stats, zero_hists)
 from ..parallel.mesh import distribute_rows, gather_rows, ordered_psum
 
 
@@ -363,11 +364,15 @@ class VegasIteration:
             self.raw_fn = run_all
             self._fn = jax.jit(run_all)
 
+    def reset_state(self):
+        """Kernel-cache hook (main._KERNEL_CACHE): no run-to-run state."""
+        return None
+
     def run(self, params, key):
         """Execute one iteration; returns host-side numpy statistics."""
         kd = np.asarray(jax.random.key_data(jax.random.split(key, self.block)))
         kd = distribute_rows(self.mesh, kd)
-        obs_b, norm_b, hists = self._fn(params, kd)
+        obs_b, norm_b, hists = fetch_stats(self._fn(params, kd))
         obs_b = decode_complex_numpy(jax.tree_util.tree_map(gather_rows, obs_b))
         norm_b = gather_rows(norm_b).astype(np.float64)
         hists = [np.asarray(h, dtype=np.float64)[: li.nhist]

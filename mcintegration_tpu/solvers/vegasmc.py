@@ -38,6 +38,7 @@ from .engine import (
     accumulate_hists,
     decode_complex_numpy,
     encode_complex,
+    fetch_stats,
     gather_slot,
     scatter_slot,
     take_rows,
@@ -408,12 +409,17 @@ class VegasMCIteration:
             self._fn = jax.jit(self.raw_fn)
             self._ndev = 1
 
+    def reset_state(self):
+        """Kernel-cache hook (main._KERNEL_CACHE): no run-to-run state."""
+        return None
+
     def run(self, params, key):
         nrows = (self._pallas_rows if self.backend == "pallas"
                  else self._ndev)
         kd = np.asarray(jax.random.key_data(jax.random.split(key, nrows)))
         keys = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
-        obs_b, norm_b, visited, hists, prop_cnt, acc_cnt = self._fn(params, keys)
+        obs_b, norm_b, visited, hists, prop_cnt, acc_cnt = fetch_stats(
+            self._fn(params, keys))
         obs_b = jax.tree_util.tree_map(gather_rows, obs_b)
         if getattr(self, "_pallas_cplx", False):
             # kernel component layout: [.., 2i] = Re w_i, [.., 2i+1] = Im w_i
