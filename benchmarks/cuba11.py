@@ -63,8 +63,12 @@ def scan_flat_cost(neval):
 
     print("devices:", jax.devices(), flush=True)
     rows = []
-    for n in (1, 2, 4, 8, 11):
-        fi = lambda idx, x, c: test2(x, c)[idx]
+    # N>11 cycles the component list with distinct scale factors — the
+    # huge-bundle regime (SURVEY §5: per-step cost ⊥ N; the fused kernel's
+    # two-word sector bitmask serves nd ≤ 62, ops/pallas_mcmc.py)
+    for n in (1, 2, 4, 8, 11, 16, 32):
+        fi = (lambda idx, x, c, n=n:
+              test2(x, c)[idx % 11] * (1.0 + idx / (2.0 * n)))
         kw = dict(var=Continuous(0.0, 1.0), dof=[[3]] * n, neval=neval,
                   solver="mcmc", verbose=-2, seed=3)
         integrate(fi, niter=2, **kw)             # compile + train warmup

@@ -55,7 +55,8 @@ from ..ops import ksum
 from ..ops.grid import uniform_open01
 from ..ops.lookup import onehot_accumulate, padded_hist_size, two_level_take
 from ..models.variable import Continuous
-from .engine import Spec, decode_complex_numpy, encode_complex, zero_hists
+from .engine import (Spec, decode_complex_numpy, encode_complex,
+                     fetch_stats, zero_hists)
 from ..parallel.mesh import distribute_rows, gather_rows, ordered_psum
 
 
@@ -488,7 +489,8 @@ class VegasPlusIteration:
         cube_of_lane, invlf, coarse_tabs = self._build_tables()
         kd = np.asarray(jax.random.key_data(jax.random.split(key, self.block)))
         kd = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
-        obs_b, sig, hists_d = self._fn(cube_of_lane, invlf, coarse_tabs, kd)
+        obs_b, sig, hists_d = fetch_stats(
+            self._fn(cube_of_lane, invlf, coarse_tabs, kd))
         obs_b = np.asarray(gather_rows(obs_b), dtype=np.float64)
         sig_flat = np.asarray(sig, dtype=np.float64).reshape(-1)
 
@@ -549,6 +551,14 @@ class VegasPlusIteration:
         if counts.sum() == self.chunk:
             self.counts = counts
 
+    def reset_state(self):
+        """Kernel-cache hook: drop adaptive stratification state so a
+        cached kernel starts bit-identical to a fresh build (same-seed
+        determinism)."""
+        self.counts = self._uniform_counts()
+        if hasattr(self, "lanes"):              # pallas lane allocation
+            self.lanes = self._uniform_lanes()
+
     def run(self, params, key):
         if self.backend == "pallas":
             return self._run_pallas(key)
@@ -556,7 +566,7 @@ class VegasPlusIteration:
         params["counts"] = jnp.asarray(self.counts, jnp.int32)
         kd = np.asarray(jax.random.key_data(jax.random.split(key, self.block)))
         kd = distribute_rows(self.mesh, kd)
-        obs_b, norm_b, hists, sig = self._fn(params, kd)
+        obs_b, norm_b, hists, sig = fetch_stats(self._fn(params, kd))
         obs_b = decode_complex_numpy(jax.tree_util.tree_map(gather_rows, obs_b))
         norm_b = gather_rows(norm_b).astype(np.float64)
         hists = [np.asarray(h, dtype=np.float64)[: li.nhist]

@@ -128,3 +128,42 @@ def test_wall_clock_timer_resplit():
     # deterministic across machine speeds.
     required = max(3, min(8, int(spanned / interval / 4)))
     assert len(calls) >= required, (len(calls), required, interval, spanned)
+
+
+def test_kernel_cache_reuse_and_isolation():
+    """Repeated integrate() calls over the same problem shape reuse the
+    compiled kernel (main._KERNEL_CACHE) without changing results; a
+    different integrand, seed, or userdata must NOT reuse it (userdata is
+    baked into the trace as a constant).  Julia-JIT analog: montecarlo
+    compiles once per method signature per session."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mcintegration_tpu import Continuous, integrate
+    from mcintegration_tpu.main import _KERNEL_CACHE, _cache_key
+    from mcintegration_tpu.configuration import Configuration
+
+    f = lambda x, c: jnp.where(x[0] ** 2 + x[1] ** 2 < 1.0, 1.0, 0.0)
+
+    def run(seed=7):
+        return integrate(f, var=Continuous(0.0, 1.0), dof=[[2]],
+                         neval=20000, niter=2, solver="vegas",
+                         verbose=-2, seed=seed)
+
+    r1 = run()
+    n0 = len(_KERNEL_CACHE)
+    r2 = run()                      # hit: no new entry, identical result
+    assert len(_KERNEL_CACHE) == n0
+    assert np.array_equal(np.asarray(r1.mean), np.asarray(r2.mean))
+    r3 = run(seed=8)                # different seed -> different key
+    assert not np.array_equal(np.asarray(r2.mean), np.asarray(r3.mean))
+
+    # userdata disables caching entirely (captured as a trace constant)
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=7,
+                        userdata=2.0)
+    assert _cache_key(cfg, "vegas", f, None, mesh=None, npb=1) is None
+
+    # a different integrand function object must never alias the cache
+    g = lambda x, c: x[0] * 0.0 + 0.25
+    rg = integrate(g, var=Continuous(0.0, 1.0), dof=[[2]], neval=20000,
+                   niter=2, solver="vegas", verbose=-2, seed=7)
+    assert abs(float(np.asarray(rg.mean)[0]) - 0.25) < 1e-3
