@@ -227,6 +227,12 @@ def integrate(integrand: Callable, *,
         if key is not None and key in _KERNEL_CACHE:
             it = _KERNEL_CACHE.pop(key)
             _KERNEL_CACHE[key] = it          # LRU: move to back
+            # rebind THIS call's spec: vegasplus's pallas path reads the
+            # trained grids through self.spec (not through run(params)),
+            # so a cached kernel must see the new call's live config, not
+            # the one it was built around (all closure-captured spec uses
+            # are structural and identical by key)
+            it.spec = spec
             it.reset_state()
             return it
         it = _build_kernel_fresh(npb)

@@ -555,7 +555,8 @@ class VegasPlusIteration:
         """Kernel-cache hook: drop adaptive stratification state so a
         cached kernel starts bit-identical to a fresh build (same-seed
         determinism)."""
-        self.counts = self._uniform_counts()
+        if hasattr(self, "chunk"):              # XLA-path chunk counts
+            self.counts = self._uniform_counts()
         if hasattr(self, "lanes"):              # pallas lane allocation
             self.lanes = self._uniform_lanes()
 

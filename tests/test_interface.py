@@ -167,3 +167,15 @@ def test_kernel_cache_reuse_and_isolation():
     rg = integrate(g, var=Continuous(0.0, 1.0), dof=[[2]], neval=20000,
                    niter=2, solver="vegas", verbose=-2, seed=7)
     assert abs(float(np.asarray(rg.mean)[0]) - 0.25) < 1e-3
+
+    # vegasplus holds run-to-run state (lane/chunk allocation) AND reads
+    # trained grids through self.spec on its fused path: a cache hit must
+    # reset the former and rebind the latter — caught live as a
+    # non-deterministic cached second call before the round-4 fix
+    def run_vp():
+        return integrate(f, var=Continuous(0.0, 1.0), dof=[[2]],
+                         neval=2 ** 16, niter=3, solver="vegasplus",
+                         verbose=-2, seed=9)
+
+    v1, v2 = run_vp(), run_vp()
+    assert np.array_equal(np.asarray(v1.mean), np.asarray(v2.mean))
