@@ -77,6 +77,9 @@ def honesty(nsteps: int, nseeds: int, nwalkers: int = 8192, block: int = 8):
 
 def main():
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    if base < 8:
+        sys.exit(f"usage: {sys.argv[0]} [nseeds >= 8] (got {base}; the "
+                 "spread estimate needs >= 2 seeds per row)")
     print(f"8192 walkers, :vegasmc Pallas chain kernel, "
           f"2-D pi integrand (exact {EXACT:.6f})")
     print(f"{'steps/walker':>13s} {'nseeds':>6s} {'spread':>10s} "

@@ -12,7 +12,7 @@ single-collective statistics reduction over a device mesh.
 
 from .common import onehot
 from .configuration import Configuration
-from .main import integrate
+from .main import clear_kernel_cache, integrate
 from .models.variable import CompositeVar, Continuous, Discrete, FermiK
 from .statistics import Result, average, report
 from .checkpoint import load_state, save_state
@@ -28,6 +28,7 @@ __all__ = [
     "FermiK",
     "Result",
     "integrate",
+    "clear_kernel_cache",
     "onehot",
     "report",
     "average",

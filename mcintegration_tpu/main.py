@@ -44,17 +44,119 @@ from .parallel.mesh import default_mesh
 # every hit (reset_state) to keep same-seed determinism.
 # ---------------------------------------------------------------------------
 _KERNEL_CACHE: "dict" = {}
-_KERNEL_CACHE_MAX = 16
+_KERNEL_CACHE_MAX = 16  # LRU cap; raise/lower for workloads cycling through
+                        # many distinct problem shapes (each entry pins its
+                        # compiled executables + baked device constants)
+
+
+def clear_kernel_cache():
+    """Drop every cached iteration kernel (and its device-resident baked
+    constants).  Long-lived processes that cycle through many distinct
+    problem shapes can call this between phases to release HBM."""
+    _KERNEL_CACHE.clear()
+
 
 _LEAF_SIG_FIELDS = ("ninc", "nbin", "lower", "upper", "range", "offset",
                     "size", "alpha", "adapt", "nhist", "dim", "kF",
                     "delta_k", "maxK", "value_width")
 
 
+def _value_sig(v, _depth=0):
+    """Hashable signature of a captured value, or None if uncacheable.
+
+    Scalars hash by value; arrays by (shape, dtype, content digest);
+    containers recurse.  Anything else (mutable objects, dicts with
+    non-str keys, ...) returns None so the caller refuses to cache."""
+    if _depth > 4:
+        return None
+    if v is None or isinstance(v, (bool, int, float, complex, str, bytes)):
+        return ("s", v)
+    if isinstance(v, (np.ndarray, np.generic)) or hasattr(v, "__jax_array__") \
+            or type(v).__module__.startswith("jax"):
+        try:
+            a = np.asarray(v)
+        except Exception:
+            return None
+        import hashlib
+        return ("a", a.shape, a.dtype.name,
+                hashlib.sha1(np.ascontiguousarray(a).tobytes()).hexdigest())
+    if isinstance(v, (tuple, list)):
+        sub = tuple(_value_sig(x, _depth + 1) for x in v)
+        return None if any(s is None for s in sub) else ("t", type(v).__name__, sub)
+    if isinstance(v, dict):
+        if not all(isinstance(k, str) for k in v):
+            return None
+        sub = tuple((k, _value_sig(v[k], _depth + 1)) for k in sorted(v))
+        return None if any(s is None for _, s in sub) else ("d", sub)
+    import types
+    if isinstance(v, types.FunctionType):
+        return _callable_sig(v, _depth + 1)
+    return None
+
+
+def _callable_sig(fn, _depth=0):
+    """Signature of a callable's captured state (closure cells, instance
+    attributes), or None if any captured value is unhashable.
+
+    The cache key already holds a weakref to the callable itself, which
+    pins identity; this adds the *contents* so a lambda over a mutated
+    closure cell, or a callable object whose attributes changed, misses
+    the cache instead of silently reusing a stale trace (jit-style
+    'captured values are baked in' semantics, made safe)."""
+    import types
+    if _depth > 4:
+        return None
+    if isinstance(fn, types.MethodType):
+        inner = _callable_sig(fn.__func__, _depth + 1)
+        self_sig = _value_sig(getattr(fn, "__self__", None), _depth + 1)
+        if self_sig is None:
+            self_sig = _instance_sig(fn.__self__, _depth + 1)
+        return None if inner is None or self_sig is None \
+            else ("m", inner, self_sig)
+    if isinstance(fn, types.FunctionType):
+        parts = [("code", id(fn.__code__))]
+        closure = fn.__closure__
+        if closure:
+            for cell in closure:
+                try:
+                    cv = cell.cell_contents
+                except ValueError:
+                    return None
+                s = _value_sig(cv, _depth + 1)
+                if s is None:
+                    return None
+                parts.append(s)
+        if fn.__dict__:
+            s = _value_sig(dict(fn.__dict__), _depth + 1)
+            if s is None:
+                return None
+            parts.append(("attrs", s))
+        return ("f", tuple(parts))
+    if callable(fn):
+        # callable object: key on type + instance attributes
+        inst = _instance_sig(fn, _depth + 1)
+        return None if inst is None else ("o", type(fn).__qualname__, inst)
+    return None
+
+
+def _instance_sig(obj, _depth=0):
+    d = getattr(obj, "__dict__", None)
+    if d is None:
+        return ("i", type(obj).__qualname__)
+    s = _value_sig(dict(d), _depth)
+    return None if s is None else ("i", type(obj).__qualname__, s)
+
+
 def _leaf_sig(leaf):
-    vals = tuple((f, repr(getattr(leaf, f))) for f in _LEAF_SIG_FIELDS
-                 if hasattr(leaf, f))
-    return (type(leaf).__name__,) + vals
+    vals = []
+    for f in _LEAF_SIG_FIELDS:
+        if not hasattr(leaf, f):
+            continue
+        s = _value_sig(getattr(leaf, f))
+        if s is None:   # unhashable leaf field: make the key unique
+            return (type(leaf).__name__, "nocache", id(leaf), object())
+        vals.append((f, s))
+    return (type(leaf).__name__,) + tuple(vals)
 
 
 def _tree_sig(tree):
@@ -69,6 +171,17 @@ def _cache_key(config, kernel_kind, integrand, measure, **knobs):
         # userdata is captured as a traced constant inside the kernel; two
         # configs with different userdata must not share a compiled kernel
         return None
+    # captured-state signatures: a callable whose closure cells / instance
+    # attributes changed between calls must not hit the old trace; if the
+    # captured state is unhashable we refuse to cache at all
+    fn_sig = _callable_sig(integrand)
+    if fn_sig is None:
+        return None
+    ms_sig = None
+    if measure is not None:
+        ms_sig = _callable_sig(measure)
+        if ms_sig is None:
+            return None
     try:
         import weakref
         fn_ref = weakref.ref(integrand)
@@ -82,7 +195,7 @@ def _cache_key(config, kernel_kind, integrand, measure, **knobs):
                     tuple(int(mesh.shape[a]) for a in mesh.axis_names),
                     tuple(d.id for d in np.asarray(mesh.devices).ravel()))
     return (
-        kernel_kind, fn_ref, ms_ref, mesh_sig,
+        kernel_kind, fn_ref, fn_sig, ms_ref, ms_sig, mesh_sig,
         tuple(sorted(knobs.items())),
         int(config.seed), config.N, config.norm,
         tuple(tuple(int(x) for x in row) for row in config.dof),
@@ -149,6 +262,7 @@ def integrate(integrand: Callable, *,
               warmup: Optional[float] = None,
               dtype=jnp.float32,
               backend: str = "auto",
+              cache: bool = True,
               **kwargs):
     """Calculate the integrals; returns a :class:`Result`.
 
@@ -163,6 +277,22 @@ def integrate(integrand: Callable, *,
     the spec is eligible, 'xla' forces the portable XLA pipeline, 'pallas'
     insists on the fused kernel (warning if the solver has none).
     ``kwargs`` are passed through to :class:`Configuration`.
+
+    The returned :class:`Result` records which compute path actually ran
+    in ``result.backend`` ('pallas' or 'xla'); when a solver with a fused
+    kernel fell back to XLA, ``result.backend_reason`` says why, and the
+    same note is printed once at ``verbose >= 0``.
+
+    **Kernel caching.** Repeated ``integrate()`` calls over the same
+    problem shape reuse the compiled iteration kernel (jit-style: up to
+    ``main._KERNEL_CACHE_MAX`` = 16 entries, LRU).  Like ``jax.jit``,
+    values the integrand captures (closure cells, callable-object
+    attributes) are baked into the trace; the cache folds a content hash
+    of that captured state into its key, and refuses to cache callables
+    whose captured state it cannot hash — but values reached through
+    *module globals* are invisible to it.  An integrand that reads a
+    mutated global between calls must pass ``cache=False`` (or call
+    :func:`clear_kernel_cache`).
     """
     verbose = max(print, verbose)
     if config is None:
@@ -216,7 +346,7 @@ def integrate(integrand: Callable, *,
         solver = "vegas"  # downstream (reweight/train) semantics are :vegas
 
     def build_kernel(npb):
-        key = _cache_key(
+        key = None if not cache else _cache_key(
             config, kernel_kind, integrand, measure,
             mesh=mesh, npb=int(npb), block=int(block),
             measurefreq=int(measurefreq), inplace=bool(inplace),
@@ -282,6 +412,15 @@ def integrate(integrand: Callable, *,
     if verbose > 0 and getattr(it_kernel, "resolution_note", ""):
         import sys
         sys.stdout.write(yellow(it_kernel.resolution_note + "\n"))
+    # surface which compute path actually runs (fused Pallas vs portable
+    # XLA) and, on fallback, why — so a user who loses the fast path can
+    # tell from the output/Result instead of guessing from throughput
+    run_backend = getattr(it_kernel, "backend", "xla")
+    backend_reason = getattr(it_kernel, "backend_reason", "")
+    if verbose >= 0 and run_backend != "pallas" and backend_reason:
+        import sys
+        sys.stdout.write(yellow(
+            f"{kernel_kind}: routed to XLA — {backend_reason}\n"))
 
     base_key = jax.random.key(config.seed)
     progress = ProgressBar(niter * block, desc=f"iters x blocks: ",
@@ -368,6 +507,8 @@ def integrate(integrand: Callable, *,
                 it_kernel = build_kernel(max(nevalperblock // nsplit, 1))
 
     result = Result(results, ignore, config=config)
+    result.backend = run_backend
+    result.backend_reason = backend_reason
     if verbose >= 0:
         report(result)
         if verbose > 0:

@@ -171,9 +171,17 @@ def wide_discrete_tables(cdf, nbin):
 
 
 def chain_eligible(spec, *, measure, weight_dtype, obs_proto=None,
-                   S: int = 16) -> bool:
-    """Static checks for the fused chain kernel (else: XLA scan path)."""
+                   S: int = 16, why=None) -> bool:
+    """Static checks for the fused chain kernel (else: XLA scan path).
+
+    ``why``: optional list; on a False return, a one-line human-readable
+    reason is appended (surfaced as ``Result.backend_reason``)."""
     from ..models.variable import Continuous, Discrete
+
+    def no(reason):
+        if why is not None:
+            why.append(reason)
+        return False
 
     # the kernel's VMEM accumulators and fori_loop carry are float32;
     # complex64 weights — and complex custom-measure observables — run as
@@ -181,22 +189,27 @@ def chain_eligible(spec, *, measure, weight_dtype, obs_proto=None,
     if weight_dtype == jnp.complex64:
         pass
     elif weight_dtype != jnp.float32:
-        return False
+        return no(f"weight dtype {jnp.dtype(weight_dtype).name} "
+                  "(kernel supports float32 and complex64)")
     drawn = [li for li in spec.leaves if li.ndraw > 0]
     if not drawn:
-        return False
+        return no("no MC-owned slots to draw")
     w_inst = S * 128
     for li in spec.leaves:
         leaf = li.leaf
         if isinstance(leaf, Continuous):
             ninc = leaf.ninc
             if li.ndraw > 0 and (ninc & (ninc - 1) or w_inst % ninc):
-                return False                     # lattice-roll requirement
+                return no(f"Continuous ninc={ninc} is not a power of two "
+                          f"dividing the {w_inst}-walker tile "
+                          "(lattice-roll requirement)")
         elif isinstance(leaf, Discrete):
             if li.ndraw > 0 and leaf.nbin > MAX_DISCRETE_NBIN:
-                return False
+                return no(f"Discrete nbin={leaf.nbin} > "
+                          f"{MAX_DISCRETE_NBIN} (kernel CDF-table limit)")
         else:
-            return False                         # FermiK etc: XLA path
+            return no(f"{type(leaf).__name__} pools run on the XLA path "
+                      "(FermiK is served fused by :mcmc only)")
     cplx = weight_dtype == jnp.complex64
     ncomp = spec.N * (2 if cplx else 1)
     if measure is not None:
@@ -205,7 +218,8 @@ def chain_eligible(spec, *, measure, weight_dtype, obs_proto=None,
                     * (2 if np.iscomplexobj(x) else 1)
                     for x in jtu.tree_leaves(obs_proto))
         if ncomp > MAX_MEASURE_COMPONENTS:
-            return False                         # VMEM accumulator budget
+            return no(f"{ncomp} observable components > "
+                      f"{MAX_MEASURE_COMPONENTS} (VMEM accumulator budget)")
     # VMEM working-set bound: per-walker-tile f32 arrays (slot state ×2 for
     # the proposal copies, weights/pads ×2 — ×4 for complex pairs,
     # accumulators) + the stacked lattice bases + histograms must fit the
@@ -224,7 +238,7 @@ def chain_eligible(spec, *, measure, weight_dtype, obs_proto=None,
                 for li in drawn if isinstance(li.leaf, Discrete)
                 and li.leaf.nbin > DISC_DIRECT_NBIN)
     if tiles * tile + bases + hists + dtabs > 48 * 1024 * 1024:
-        return False
+        return no("working set exceeds the 48 MiB VMEM budget")
     return True
 
 

@@ -54,7 +54,8 @@ solver exists for).  This kernel fixes both:
 
 Proposal draws reuse the lattice-roll machinery of ops/pallas_chain.py for
 Continuous pools (power-of-two ninc) and threshold-count CDF inversion for
-Discrete pools (nbin <= 32, probabilities from SMEM scalars — gather-free).
+Discrete pools (nbin <= MAX_DISCRETE_NBIN = 1024: direct SMEM-scalar
+thresholds up to DISC_DIRECT_NBIN, a two-level blocked CDF draw beyond).
 FermiK pools (the :mcmc-only momentum shell sampler,
 sampler.jl:109-244) run fully in-kernel: values are stored as D separate
 (S,128) component tiles, fresh draws are the shell x angle transform (pure
@@ -125,47 +126,60 @@ def _leaf_width(leaf) -> int:
 
 
 def mcmc_eligible(spec, *, measure, weight_dtype, obs_proto=None,
-                  S: int = 16) -> bool:
-    """Static checks for the fused mcmc kernel (else: XLA scan path)."""
+                  S: int = 16, why=None) -> bool:
+    """Static checks for the fused mcmc kernel (else: XLA scan path).
+
+    ``why``: optional list; on a False return, a one-line human-readable
+    reason is appended (surfaced as ``Result.backend_reason``)."""
     from .pallas_chain import MAX_MEASURE_COMPONENTS, obs_components
 
-    # complex64 weights run as (re, im) f32 pairs via ops/realify.py
-    # (default measure only — custom complex measures take the XLA path);
-    # the reference treats complex uniformly in all solvers
-    # (src/statistics.jl:207-214)
-    cplx = weight_dtype == jnp.complex64
-    if cplx:
-        if measure is not None:
-            return False
-    elif weight_dtype != jnp.float32:
+    def no(reason):
+        if why is not None:
+            why.append(reason)
         return False
+
+    # complex64 weights — and complex custom-measure observables — run as
+    # (re, im) f32 pairs via ops/realify.py; the reference treats complex
+    # uniformly in all solvers (src/statistics.jl:207-214)
+    cplx = weight_dtype == jnp.complex64
+    if not cplx and weight_dtype != jnp.float32:
+        return no(f"weight dtype {jnp.dtype(weight_dtype).name} "
+                  "(kernel supports float32 and complex64)")
+    if cplx and measure is not None:
+        return no("complex custom measures run on the XLA :mcmc path")
     nd = spec.N + 1
     if nd > 62:            # adjacency bitmask lives in two int32 words
-        return False
+        return no(f"{spec.N} integrands > 61 (two-word adjacency bitmask)")
     drawn = [li for li in spec.leaves if li.ndraw > 0]
     if not drawn:
-        return False
+        return no("no MC-owned slots to draw")
     w_inst = S * 128
     ncont = 0
     for li in spec.leaves:
         kind = _leaf_kind(li.leaf)
         if kind is None:
-            return False
+            return no(f"{type(li.leaf).__name__} pools run on the XLA path")
         if li.ndraw == 0:
             continue
         if kind == "cont":
             ncont += 1
             ninc = li.leaf.ninc
             if ninc & (ninc - 1) or w_inst % ninc:
-                return False      # lattice-roll requirement
+                return no(f"Continuous ninc={ninc} is not a power of two "
+                          f"dividing the {w_inst}-walker tile "
+                          "(lattice-roll requirement)")
         elif kind == "disc":
             if li.leaf.nbin > MAX_DISCRETE_NBIN:
-                return False
+                return no(f"Discrete nbin={li.leaf.nbin} > "
+                          f"{MAX_DISCRETE_NBIN} (kernel CDF-table limit)")
     ncomp = spec.N * (2 if cplx else 1)
     if measure is not None:
         ncomp = obs_components(obs_proto)
+        if cplx:
+            ncomp *= 2
         if ncomp > MAX_MEASURE_COMPONENTS:
-            return False          # VMEM accumulator budget
+            return no(f"{ncomp} observable components > "
+                      f"{MAX_MEASURE_COMPONENTS} (VMEM accumulator budget)")
     # VMEM working-set bound (cf. pallas_chain.chain_eligible): per slot the
     # loop carries value/proposal/draw component tiles plus gidx/prob pairs.
     n, nvar = spec.N, spec.nvar
@@ -373,6 +387,83 @@ def validate_measure_batched_idx(spec, measure_b, measure,
         return False
 
 
+def make_measure_batched_idx_pairs(spec, measure, obs_proto):
+    """Complex-capable per-sector batched measure as (re, im) f32 pairs.
+
+    Wraps :func:`make_measure_batched_idx` at complex64 with the realify
+    transform (ops/realify.py), mirroring
+    :func:`pallas_chain.make_measure_batched_pairs` for the :mcmc measure
+    convention ``measure(idx, var, relw, config)``: the kernel's relative
+    weight arrives as an (re, im) tile pair, is recombined into complex
+    inside the traced function, and every complex observable contribution
+    comes back as an (re, im) tuple in the output pytree.  Raises
+    RealifyError at build time for complex primitives without a rewrite
+    rule (callers fall back to the XLA path).  Closes the reference's
+    complex-uniformity contract (src/statistics.jl:207-214) on the last
+    fast path that lacked it.
+    """
+    from .realify import realify
+
+    base = make_measure_batched_idx(spec, measure, jnp.complex64, obs_proto)
+
+    def make(i):
+        def complex_call(leaf_vals, relw_re, relw_im):
+            return base[i](leaf_vals, jax.lax.complex(relw_re, relw_im))
+
+        lifted = realify(complex_call)
+
+        def _m(leaf_vals, relw_pair):
+            return lifted(leaf_vals, relw_pair[0], relw_pair[1])
+
+        return _m
+
+    return [make(i) for i in range(spec.N)]
+
+
+def validate_measure_batched_idx_pairs(spec, measure_b, measure,
+                                       obs_proto) -> bool:
+    """Prove realified pair measure == complex per-sample measure/sector."""
+    try:
+        rng = np.random.default_rng(98765)
+        leaf_vals = _probe_leaf_vals(spec, rng)
+        rw_re = jnp.asarray(rng.uniform(0.1, 1.0, (4, 2)), jnp.float32)
+        rw_im = jnp.asarray(rng.uniform(-0.5, 0.5, (4, 2)), jnp.float32)
+        uc = spec.uconfig
+        for i in range(spec.N):
+            def per_sample(vals, rw_col, i=i):
+                pools = [{"val": v} for v in vals]
+                out = measure(i, spec.view(pools), rw_col, uc)
+                return jax.tree_util.tree_map(
+                    lambda z, p: jnp.reshape(z, np.shape(p)),
+                    out, obs_proto)
+
+            @jax.jit
+            def probe(leaf_vals, rw_re, rw_im, i=i):
+                wb = measure_b[i](leaf_vals, (rw_re, rw_im))
+                relw = jax.lax.complex(rw_re, rw_im)
+                wv = jax.vmap(jax.vmap(per_sample, in_axes=-1, out_axes=-1),
+                              in_axes=-1, out_axes=-1)(leaf_vals, relw)
+                oks = []
+                for a, b in zip(jax.tree_util.tree_leaves(
+                        wb, is_leaf=lambda x: isinstance(x, tuple)),
+                        jax.tree_util.tree_leaves(wv)):
+                    if isinstance(a, tuple):
+                        oks.append(jnp.allclose(a[0], jnp.real(b),
+                                                rtol=1e-5, atol=1e-6))
+                        oks.append(jnp.allclose(a[1], jnp.imag(b),
+                                                rtol=1e-5, atol=1e-6))
+                    else:
+                        oks.append(jnp.allclose(a, jnp.asarray(b, a.dtype),
+                                                rtol=1e-5, atol=1e-6))
+                return jnp.all(jnp.stack(oks))
+
+            if not bool(probe(leaf_vals, rw_re, rw_im)):
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def _twhere(m, a, b):
     """jnp.where lifted over per-component value tuples (FermiK slots)."""
     if isinstance(a, tuple):
@@ -417,17 +508,23 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
     Ls = {i: level_size(leaves[i].leaf.nhist) for i in adapt_leaves}
     eligible_groups = [g for g in range(nvar) if spec.maxdof[g] > 0]
     ncol_t = max(nd, nvar)        # tally-table column count (solver nmax)
-    # flattened observable components (custom measure path)
+    # flattened observable components (custom measure path); complex proto
+    # leaves expand to consecutive (re, im) component groups — exactly the
+    # flattening order of the realified measure's (re, im) output tuples
+    # (cf. pallas_chain.build_chain_run_all)
     if measure_b is not None:
         proto_leaves, proto_def = jax.tree_util.tree_flatten(obs_proto)
-        comp_shapes = [np.shape(x) for x in proto_leaves]
+        comp_infos = [(np.shape(x), bool(np.iscomplexobj(x)))
+                      for x in proto_leaves]
+        comp_shapes = []
+        for s, iscpx in comp_infos:
+            comp_shapes += [s, s] if iscpx else [s]
         ncomp = sum(max(int(np.prod(s)), 1) for s in comp_shapes)
     else:
         # complex weights run as (re, im) pairs: component 2i = Re w_i,
         # component 2i+1 = Im w_i (reference treats re/im as independent
         # channels, src/statistics.jl:24-55)
         ncomp = 2 * n if cplx else n
-    assert not (cplx and measure_b is not None)
 
     # weight algebra over scalars (real) or (re, im) pairs (complex);
     # probability = |weight| * reweight[curr] stays real either way

@@ -272,32 +272,45 @@ def pick_m_tile(spec, nb: int, m_avail: int) -> int:
 
 
 def eligible(spec, plans, *, measure, measurefreq, weight_dtype,
-             m_tile_cap=128) -> bool:
-    """Can the Pallas fast path run this spec? (conservative static checks)"""
-    if measure is not None or measurefreq != 1:
+             m_tile_cap=128, why=None) -> bool:
+    """Can the Pallas fast path run this spec? (conservative static checks)
+
+    ``why``: optional list; on a False return, a one-line human-readable
+    reason is appended (surfaced as ``Result.backend_reason``)."""
+    def no(reason):
+        if why is not None:
+            why.append(reason)
         return False
+
+    if measure is not None:
+        return no("custom measure functions run on the XLA :vegas path")
+    if measurefreq != 1:
+        return no(f"measurefreq={measurefreq} != 1 runs on the XLA path")
     # kernel accumulators (obs SMEM rows, Kahan compensation, histograms)
     # are float32; any other weight dtype must take the XLA path
     if weight_dtype != jnp.float32:
-        return False
+        return no(f"weight dtype {jnp.dtype(weight_dtype).name} (kernel "
+                  "accumulators are float32; complex :vegas runs on XLA)")
     drawn = [(li, plan) for li, plan in zip(spec.leaves, plans) if li.ndraw > 0]
     if not drawn:
-        return False
+        return no("no MC-owned slots to draw")
     if any(plan is None for _, plan in drawn):
-        return False
+        return no("a drawn pool has no stratified sampling plan "
+                  "(Discrete/FermiK pools run on the XLA :vegas path)")
     nbs = {plan["nb"] for _, plan in drawn}
     if len(nbs) != 1:
-        return False
+        return no("drawn pools have mismatched strata counts")
     nb = nbs.pop()
     if nb > 32768:  # int32 overflow guard for a*b+s
-        return False
+        return no(f"strata count {nb} > 32768 (int32 lattice overflow guard)")
     l = level_size(nb)
     np_pad = l * l
     nslots = sum(li.ndraw for li, _ in drawn)
     # rough VMEM bound: per-slot x + per-integrand w + scratch headroom
     live = (nslots + spec.N + 6) * np_pad * m_tile_cap * 4
     if live > 12 * 1024 * 1024:
-        return False
+        return no(f"working set ~{live // (1024 * 1024)} MiB exceeds the "
+                  "12 MiB VMEM budget")
     return True
 
 

@@ -72,28 +72,40 @@ HIST_EVERY = 4     # training-histogram subsample period (unbiased, scaled)
 
 
 def vplus_eligible(spec, *, measure, measurefreq, weight_dtype,
-                   nevalperblock: int, max_cubes: int) -> dict | None:
+                   nevalperblock: int, max_cubes: int,
+                   why=None) -> dict | None:
     """Static eligibility + shaping for the fused vegas+ kernel.
 
     Returns None (XLA path) or a shape plan dict with nstrat/R per dim.
+    ``why``: optional list; on a None return, a one-line human-readable
+    reason is appended (surfaced as ``Result.backend_reason``).
     """
     from ..models.variable import Continuous
 
-    if measure is not None or measurefreq != 1:
+    def no(reason):
+        if why is not None:
+            why.append(reason)
         return None
+
+    if measure is not None:
+        return no("custom measure functions run on the XLA :vegasplus path")
+    if measurefreq != 1:
+        return no(f"measurefreq={measurefreq} != 1 runs on the XLA path")
     if weight_dtype != jnp.float32:
-        return None
+        return no(f"weight dtype {jnp.dtype(weight_dtype).name} "
+                  "(kernel accumulators are float32)")
     dims = []
     for lidx, li in enumerate(spec.leaves):
         if li.ndraw == 0:
             continue
         if not isinstance(li.leaf, Continuous):
-            return None                       # Discrete/FermiK: XLA path
+            return no(f"{type(li.leaf).__name__} pools run on the XLA "
+                      ":vegasplus path (stratification is Continuous-only)")
         for slot in range(li.ndraw):
             dims.append((lidx, slot))
     D = len(dims)
     if D == 0 or D > 10:
-        return None
+        return no(f"{D} stratified dimensions (kernel serves 1..10)")
     nincs = [spec.leaves[lidx].leaf.ninc for (lidx, _) in dims]
     # largest power-of-two nstrat dividing every ninc, with nstrat^D within
     # both the cube budget and the sample budget — >=2 lanes of >=8 samples
@@ -108,7 +120,9 @@ def vplus_eligible(spec, *, measure, measurefreq, weight_dtype,
             break
     if (nstrat ** D > max_cubes or any(n % nstrat for n in nincs)
             or 16 * nstrat ** D > nevalperblock):
-        return None
+        return no(f"no power-of-two strata count divides every ninc within "
+                  f"the cube budget ({max_cubes}) and sample budget "
+                  f"({nevalperblock}/block) — need >=16 samples/cube")
     ncubes = nstrat ** D
     # per-dim sub-bin count R: largest <= R_PAD with ninc % (nstrat*R) == 0
     Rs = []
@@ -131,7 +145,7 @@ def vplus_eligible(spec, *, measure, measurefreq, weight_dtype,
     n = spec.N
     tile = TS * 128 * 4
     if (3 * D + n + 8) * tile + (2 * D + 2) * R_PAD * 128 * 4 > 32 * 2**20:
-        return None
+        return no("working set exceeds the 32 MiB VMEM budget")
     return {
         "dims": dims, "D": D, "nstrat": nstrat, "ncubes": ncubes,
         "Rs": Rs, "NL": NL, "LT": NL // 128, "TS": TS, "nchunks": nchunks,

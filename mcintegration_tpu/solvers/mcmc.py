@@ -75,11 +75,22 @@ class MCMCIteration:
 
         # ---- fused Pallas mcmc kernel (ops/pallas_mcmc.py) ----
         self.backend = "xla"
+        self.backend_reason = ("backend='xla' requested" if backend == "xla"
+                               else "")
         if backend in ("auto", "pallas"):
             from ..ops import pallas_mcmc
             devs = (np.asarray(mesh.devices).ravel() if mesh is not None
                     else jax.devices())
             interp = devs[0].platform == "cpu"
+            why: list = []
+            if backend != "pallas" and interp:
+                self.backend_reason = (
+                    "no TPU device (interpret-mode Pallas is slower than "
+                    "XLA; pass backend='pallas' to force it)")
+            elif not pallas_mcmc.mcmc_eligible(
+                    spec, measure=measure, weight_dtype=weight_dtype,
+                    obs_proto=obs_proto, why=why):
+                self.backend_reason = why[0] if why else "spec not eligible"
             if ((backend == "pallas" or not interp)
                     and pallas_mcmc.mcmc_eligible(
                         spec, measure=measure, weight_dtype=weight_dtype,
@@ -115,10 +126,18 @@ class MCMCIteration:
                            and isinstance(li.leaf, Continuous)):
                         S = cand
                         break
-                # a walker updates on ~(2nvar+2)/(n*(2nvar+1)) of steps in
-                # the scheduled kernel (module docstring), so chains need
-                # proportionally more steps than the XLA path for the same
-                # equilibration; short-chain workloads route to XLA.
+                # ROUTING HEURISTIC (steps_min ∝ N): in the scheduled
+                # kernel a walker updates on ~(2nvar+2)/(N*(2nvar+1)) of
+                # steps (module docstring), vs every step in the XLA scan,
+                # so for the same per-walker equilibration the fused path
+                # needs ~N*C/(C+1) x min_steps_per_walker kernel steps per
+                # walker (C = 2*nvar+1).  When the neval budget cannot fund
+                # at least one walker tile with that many steps, the solver
+                # routes to XLA — statistically sound but ~10x slower per
+                # eval for wide bundles; the fallback is surfaced via
+                # Result.backend/backend_reason, and pinned by
+                # tests/test_interface.py::test_mcmc_routing_boundary.
+                # Passing nwalkers= explicitly overrides the heuristic.
                 C = 2 * spec.nvar + 1
                 steps_min = max(
                     int(min_steps_per_walker) * spec.N * C // (C + 1), 64)
@@ -131,11 +150,41 @@ class MCMCIteration:
                         wtiles = max(1, W // (block * S * 128))
                 else:
                     wtiles = 0
-                if wtiles > 0 and meas_ok and (
-                        pallas_mcmc.validate_batched_idx_pairs(
-                            spec, evals_b, integrand) if cplx
-                        else pallas_mcmc.validate_batched_idx(
-                            spec, evals_b, integrand, weight_dtype)):
+                if S == 0:
+                    self.backend_reason = (
+                        f"no {8 * 128}/{16 * 128}-walker tile fits "
+                        f"{W} walkers over {block} block lanes with every "
+                        "Continuous ninc dividing it (raise neval or "
+                        "nwalkers)")
+                elif wtiles == 0:
+                    self.backend_reason = (
+                        f"neval={int(neval):.3g} funds fewer than "
+                        f"{steps_min} scheduled steps per "
+                        f"{block * S * 128 * ndev}-walker tile at "
+                        f"N={spec.N} (steps_min scales with N; raise neval "
+                        f"~{steps_min * block * S * 128 * ndev:.2g} or pass "
+                        "nwalkers= to force the fused kernel)")
+                elif evals_b is None:
+                    self.backend_reason = (
+                        "the complex integrand uses a primitive without a "
+                        "realify rewrite rule (ops/realify.py)")
+                elif not meas_ok:
+                    self.backend_reason = (
+                        "the batched custom-measure probe did not reproduce "
+                        "the per-sample evaluation (measure not "
+                        "batch-rewritable)")
+                go = wtiles > 0 and meas_ok
+                if go:
+                    go = (pallas_mcmc.validate_batched_idx_pairs(
+                              spec, evals_b, integrand) if cplx
+                          else pallas_mcmc.validate_batched_idx(
+                              spec, evals_b, integrand, weight_dtype))
+                    if not go:
+                        self.backend_reason = (
+                            "the batched-integrand probe did not reproduce "
+                            "the per-sample evaluation (integrand not "
+                            "batch-rewritable)")
+                if go:
                     Wg = block * wtiles * S * 128 * ndev
                     self.nwalkers = Wg
                     # every kernel step runs exactly one batched eval
@@ -150,6 +199,7 @@ class MCMCIteration:
                         measure_b=measure_b, obs_proto=obs_proto,
                         cplx=cplx)
                     self.backend = "pallas"
+                    self.backend_reason = ""
                     self._pallas_cplx = cplx
                     rows_local = block * wtiles
 

@@ -131,20 +131,33 @@ class VegasIteration:
         # kernel with hardware PRNG; falls back to the XLA pipeline for
         # specs it cannot serve (Discrete, measure, complex, mf>1, ...) ----
         self.backend = "xla"
+        self.backend_reason = ""
         pallas_run_all = None
+        if backend == "xla":
+            self.backend_reason = "backend='xla' requested"
         if backend in ("auto", "pallas"):
             from ..ops import pallas_vegas
+            why: list = []
             if pallas_vegas.eligible(spec, plans, measure=measure,
                                      measurefreq=measurefreq,
-                                     weight_dtype=weight_dtype):
+                                     weight_dtype=weight_dtype, why=why):
                 devs = (np.asarray(mesh.devices).ravel() if mesh is not None
                         else jax.devices())
                 interp = devs[0].platform == "cpu"
                 eval_b = pallas_vegas.make_eval_batched(
                     spec, integrand, inplace, weight_dtype)
-                if ((backend == "pallas" or not interp)
-                        and pallas_vegas.validate_batched(
-                            spec, eval_b, eval_fn)):
+                ok = backend == "pallas" or not interp
+                if not ok:
+                    self.backend_reason = (
+                        "no TPU device (interpret-mode Pallas is slower "
+                        "than XLA; pass backend='pallas' to force it)")
+                elif not pallas_vegas.validate_batched(spec, eval_b, eval_fn):
+                    ok = False
+                    self.backend_reason = (
+                        "the batched-integrand probe did not reproduce the "
+                        "per-sample evaluation (integrand not "
+                        "batch-rewritable)")
+                if ok:
                     nb0 = next(p["nb"] for li, p in zip(spec.leaves, plans)
                                if li.ndraw > 0 and p is not None)
                     m_tile = pallas_vegas.pick_m_tile(
@@ -165,6 +178,9 @@ class VegasIteration:
                         spec, plans, eval_b, nchunks=self.nchunks,
                         m_tile=m_tile, interpret=interp)
                     self.backend = "pallas"
+                    self.backend_reason = ""
+            else:
+                self.backend_reason = why[0] if why else "spec not eligible"
 
         n = spec.N
         mf = measurefreq

@@ -97,12 +97,23 @@ class VegasMCIteration:
 
         # ---- fused Pallas chain kernel (ops/pallas_chain.py) ----
         self.backend = "xla"
+        self.backend_reason = ("backend='xla' requested" if backend == "xla"
+                               else "")
         if backend in ("auto", "pallas"):
             from ..models.variable import Continuous
             from ..ops import pallas_chain, pallas_vegas
             devs = (np.asarray(mesh.devices).ravel() if mesh is not None
                     else jax.devices())
             interp = devs[0].platform == "cpu"
+            why: list = []
+            if backend != "pallas" and interp:
+                self.backend_reason = (
+                    "no TPU device (interpret-mode Pallas is slower than "
+                    "XLA; pass backend='pallas' to force it)")
+            elif not pallas_chain.chain_eligible(
+                    spec, measure=measure, weight_dtype=weight_dtype,
+                    obs_proto=obs_proto, why=why):
+                self.backend_reason = why[0] if why else "spec not eligible"
             if ((backend == "pallas" or not interp)
                     and pallas_chain.chain_eligible(
                         spec, measure=measure, weight_dtype=weight_dtype,
@@ -158,8 +169,29 @@ class VegasMCIteration:
                            and isinstance(li.leaf, Continuous)):
                         S = cand
                         break
-                if (S > 0 and measure_ok
-                        and validate(spec, eval_b, eval_fn_probe)):
+                ok = S > 0 and measure_ok
+                if S == 0:
+                    self.backend_reason = (
+                        f"no {8 * 128}/{16 * 128}-walker tile fits "
+                        f"{W} walkers over {block} block lanes with every "
+                        "Continuous ninc dividing it (raise neval or "
+                        "nwalkers)")
+                elif eval_b is None:
+                    self.backend_reason = (
+                        "the complex integrand uses a primitive without a "
+                        "realify rewrite rule (ops/realify.py)")
+                elif not measure_ok:
+                    self.backend_reason = (
+                        "the batched custom-measure probe did not reproduce "
+                        "the per-sample evaluation (measure not "
+                        "batch-rewritable)")
+                elif not validate(spec, eval_b, eval_fn_probe):
+                    ok = False
+                    self.backend_reason = (
+                        "the batched-integrand probe did not reproduce the "
+                        "per-sample evaluation (integrand not "
+                        "batch-rewritable)")
+                if ok:
                     wtiles = max(1, W // (block * S * 128))
                     Wg = block * wtiles * S * 128 * ndev
                     self.nwalkers = Wg
@@ -173,6 +205,7 @@ class VegasMCIteration:
                         warmup=int(self.nsteps * self.warmup),
                         cplx=cplx)
                     self.backend = "pallas"
+                    self.backend_reason = ""
                     # default-measure complex uses the flat [B, 2n] re/im
                     # column layout; custom-measure complex comes back as
                     # encode_complex marker dicts (decoded generically)

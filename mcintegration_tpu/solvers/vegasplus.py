@@ -81,6 +81,10 @@ class VegasPlusIteration:
 
         # ---- fused Pallas fast path (ops/pallas_vplus.py) ----
         self.backend = "xla"
+        self.backend_reason = (
+            "backend='xla' requested" if backend == "xla" else
+            "explicit nstrat= runs on the XLA path" if nstrat is not None
+            else "")
         if backend in ("auto", "pallas") and nstrat is None:
             if self._try_build_pallas(integrand, measure, inplace,
                                       measurefreq, block, nevalperblock,
@@ -355,19 +359,30 @@ class VegasPlusIteration:
         if mesh is not None:
             ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         if block % ndev != 0:
+            self.backend_reason = f"block={block} does not divide over {ndev} devices"
             return False
+        why: list = []
         plan = pallas_vplus.vplus_eligible(
             spec, measure=measure, measurefreq=measurefreq,
             weight_dtype=weight_dtype, nevalperblock=int(nevalperblock),
-            max_cubes=max_cubes)
+            max_cubes=max_cubes, why=why)
         # on CPU the kernel runs under the (slow) TPU interpreter: take it
         # only when explicitly requested (tests) — mirrors solvers/vegas.py
-        if plan is None or (interp and not force):
+        if plan is None:
+            self.backend_reason = why[0] if why else "spec not eligible"
+            return False
+        if interp and not force:
+            self.backend_reason = (
+                "no TPU device (interpret-mode Pallas is slower than XLA; "
+                "pass backend='pallas' to force it)")
             return False
         eval_b = pallas_vegas.make_eval_batched(
             spec, integrand, inplace, weight_dtype)
         eval_probe = spec.make_eval(integrand, inplace, weight_dtype)
         if not pallas_vegas.validate_batched(spec, eval_b, eval_probe):
+            self.backend_reason = (
+                "the batched-integrand probe did not reproduce the "
+                "per-sample evaluation (integrand not batch-rewritable)")
             return False
 
         self._plan = plan
@@ -416,6 +431,7 @@ class VegasPlusIteration:
             self._fn = jax.jit(run_all)
         self._ndev = ndev
         self.backend = "pallas"
+        self.backend_reason = ""
         return True
 
     def _uniform_lanes(self) -> np.ndarray:

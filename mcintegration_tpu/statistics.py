@@ -134,7 +134,15 @@ class Result:
     Members mirror the reference ``Result{O,C}``: ``mean``, ``stdev``,
     ``chi2`` (reduced), ``neval``, ``ignore``, ``config`` and the full
     per-iteration ``iterations`` history.
+
+    TPU extension: ``backend`` records which compute path produced the
+    result ('pallas' = fused TPU kernel, 'xla' = portable pipeline, None =
+    constructed outside ``integrate``); on an XLA fallback from a solver
+    with a fused kernel, ``backend_reason`` is a one-line explanation.
     """
+
+    backend = None          # set by integrate()
+    backend_reason = ""
 
     def __init__(self, history_or_result, ignore: int = 0, config=None):
         if isinstance(history_or_result, Result):
@@ -144,6 +152,8 @@ class Result:
                 return
             if config is None:
                 config = prev.config
+            self.backend = prev.backend
+            self.backend_reason = prev.backend_reason
             history_or_result = prev.iterations
         history = list(history_or_result)
         assert len(history) > 0

@@ -179,3 +179,128 @@ def test_kernel_cache_reuse_and_isolation():
 
     v1, v2 = run_vp(), run_vp()
     assert np.array_equal(np.asarray(v1.mean), np.asarray(v2.mean))
+
+
+def test_cache_closure_mutation_not_stale():
+    """A lambda reading a mutated closure cell must NOT silently reuse the
+    stale compiled kernel (jit-style bake-in, made safe: the cache key
+    folds a content hash of captured state — main._callable_sig)."""
+    from mcintegration_tpu import integrate
+
+    scale = [1.0]
+
+    def make(s):
+        return lambda x, c: x[0] * 0.0 + s
+
+    # closure cell with a float: cacheable, keyed on the value
+    f1 = make(1.0)
+    r1 = integrate(f1, var=Continuous(0.0, 1.0), dof=[[1]], neval=4096,
+                   niter=2, solver="vegas", verbose=-2, seed=11)
+    assert abs(float(np.asarray(r1.mean)[0]) - 1.0) < 0.05
+
+    # same function OBJECT, mutated captured state via __defaults__-free
+    # path: use a callable object whose attribute changes
+    class F:
+        def __init__(self):
+            self.s = 1.0
+
+        def __call__(self, x, c):
+            return x[0] * 0.0 + self.s
+
+    g = F()
+    ra = integrate(g, var=Continuous(0.0, 1.0), dof=[[1]], neval=4096,
+                   niter=2, solver="vegas", verbose=-2, seed=11)
+    g.s = 2.0
+    rb = integrate(g, var=Continuous(0.0, 1.0), dof=[[1]], neval=4096,
+                   niter=2, solver="vegas", verbose=-2, seed=11)
+    assert abs(float(np.asarray(ra.mean)[0]) - 1.0) < 0.1
+    assert abs(float(np.asarray(rb.mean)[0]) - 2.0) < 0.1, \
+        "stale kernel reused after callable attribute mutation"
+
+    # unhashable captured state refuses to cache rather than guessing
+    from mcintegration_tpu.main import _callable_sig
+
+    class Opaque:
+        __slots__ = ("x",)
+    h = (lambda o: lambda x, c: (o, x[0])[1])(Opaque())
+    assert _callable_sig(h) is None
+
+    # cache=False escape hatch + clear_kernel_cache drains entries
+    from mcintegration_tpu import clear_kernel_cache
+    from mcintegration_tpu.main import _KERNEL_CACHE
+    n0 = len(_KERNEL_CACHE)
+    integrate(make(3.0), var=Continuous(0.0, 1.0), dof=[[1]], neval=4096,
+              niter=2, solver="vegas", verbose=-2, seed=11, cache=False)
+    assert len(_KERNEL_CACHE) == n0
+    clear_kernel_cache()
+    assert len(_KERNEL_CACHE) == 0
+
+
+def test_result_backend_surfaced():
+    """Result.backend records the compute path; fallbacks carry a reason
+    (round-5: a user must be able to tell which path ran and why)."""
+    from mcintegration_tpu import integrate
+
+    # on the CPU test mesh, auto routes to XLA with an explanatory reason
+    res = integrate(lambda x, c: x[0], var=Continuous(0.0, 1.0), dof=[[1]],
+                    neval=4096, niter=2, solver="vegas", verbose=-2, seed=5)
+    assert res.backend == "xla"
+    assert res.backend_reason  # a human-readable explanation is recorded
+
+    # custom measure: a structural reason
+    def ms(vars, relw, c):
+        return [relw[0]]
+
+    res2 = integrate(lambda x, c: x[0], var=Continuous(0.0, 1.0), dof=[[1]],
+                     neval=4096, niter=2, solver="vegas", verbose=-2, seed=5,
+                     measure=ms, obs=[0.0], backend="pallas")
+    assert res2.backend == "xla"
+    assert "measure" in res2.backend_reason
+
+    # forced interpret-mode pallas reports backend='pallas', empty reason
+    res3 = integrate(lambda x, c: x[0] * 0.0 + 1.0, var=Continuous(0.0, 1.0),
+                     dof=[[1]], neval=2 ** 19, niter=2, solver="vegas",
+                     verbose=-2, seed=5, backend="pallas")
+    assert res3.backend == "pallas" and res3.backend_reason == ""
+
+    # derived Result(res, ignore) keeps the provenance
+    from mcintegration_tpu import Result
+    assert Result(res3, 1).backend == "pallas"
+
+
+def test_mcmc_routing_boundary():
+    """Pin the fused/XLA routing boundary of the :mcmc scheduled kernel
+    (steps_min ∝ N heuristic, solvers/mcmc.py): at N=4 a 5e6-eval budget
+    routes to XLA with the steps-budget reason, a 3e7 budget routes fused,
+    and explicit nwalkers= overrides the heuristic.  Measured cliff this
+    guards: 780 -> 86 M steps/s at N=16, neval 3e8 -> 1e8 (round-4
+    verdict)."""
+    import jax.numpy as jnp
+    from mcintegration_tpu.configuration import Configuration
+    from mcintegration_tpu.solvers.engine import Spec
+    from mcintegration_tpu.solvers.mcmc import MCMCIteration
+
+    N = 4
+
+    def f(idx, x, c):
+        return x[0] * 0.0 + 1.0 + idx
+
+    def build(neval, **kw):
+        cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[1]] * N, seed=3)
+        spec = Spec(cfg, dtype=jnp.float32)
+        return MCMCIteration(spec, f, block=16, nevalperblock=neval // 16,
+                             mesh=None, backend="pallas",
+                             obs_proto=cfg.observable, **kw)
+
+    # below the boundary: budget funds < steps_min per walker tile
+    low = build(5_000_000)
+    assert low.backend == "xla", low.backend
+    assert "steps" in low.backend_reason and "nwalkers" in low.backend_reason
+
+    # above: fused kernel selected (construction only — no interpret run)
+    high = build(30_000_000)
+    assert high.backend == "pallas", high.backend_reason
+
+    # explicit nwalkers overrides the heuristic on the same low budget
+    forced = build(5_000_000, nwalkers=20000)
+    assert forced.backend == "pallas", forced.backend_reason

@@ -111,7 +111,9 @@ def _lines(out, tag):
     return [l for l in out.splitlines() if l.startswith(tag)]
 
 
-@pytest.mark.timeout(300)
+# hang protection is the communicate(timeout=240) below — every child is a
+# subprocess, so the parent never blocks before reaching it (pytest-timeout
+# is not installed; a bare @pytest.mark.timeout would be a silent no-op)
 def test_two_process_distributed(tmp_path):
     coord = f"127.0.0.1:{_free_port()}"
     script = tmp_path / "worker.py"
