@@ -57,11 +57,24 @@ def onehot(idx, lo, hi, dtype=None, *, like=None):
     the same measure code is correct per-sample AND batched — and
     therefore passes the batched-equivalence probe that gates the
     in-kernel measure path.
+
+    The bin axis is materialized with ``lax.broadcasted_iota`` at the full
+    output rank rather than reshaping a 1-D ``arange``: Mosaic cannot lower
+    the ``(n,) -> (n, 1, 1)`` shape cast (the lane dimension changes), and
+    that reshape made every in-kernel measure path fail to compile on real
+    TPU hardware while passing under the CPU interpreter.
     """
+    import jax
     import jax.numpy as jnp
 
-    trail = max(jnp.ndim(idx), jnp.ndim(like) if like is not None else 0)
-    rng = jnp.arange(lo, hi + 1)
-    rng = rng.reshape(rng.shape + (1,) * trail)
-    oh = (rng == idx)
+    n = int(hi) - int(lo) + 1
+    ref = idx
+    if like is not None and jnp.ndim(like) > jnp.ndim(idx):
+        ref = like
+    if jnp.ndim(ref) == 0:
+        oh = (jnp.arange(lo, hi + 1) == idx)
+    else:
+        shape = (n,) + tuple(jnp.shape(ref))
+        rng = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + lo
+        oh = (rng == idx)      # idx broadcasts over the leading bin axis
     return oh.astype(dtype) if dtype is not None else oh

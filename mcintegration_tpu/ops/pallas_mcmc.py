@@ -69,7 +69,11 @@ Custom measures (mcmc convention ``measure(idx, var, relw, config)``,
 montecarlo.jl:160-170) are served batched: per-sector measure functions are
 built like ops/pallas_chain.make_measure_batched, proven equivalent to the
 per-sample vmapped evaluation at build time, and evaluated at measured
-steps masked by ``curr == i``.  For the canonical N=1 physics bundles
+steps masked by ``curr == i``.  Complex custom measures ride the same path
+through the realify transform (make_measure_batched_idx_pairs): relw
+arrives as an (re, im) tile pair and complex observable components
+accumulate as consecutive re/im channel pairs — the reference's uniform
+complex handling (src/statistics.jl:207-214) with no fast-path exception.  For the canonical N=1 physics bundles
 (test/bubble.jl shape) that is exactly one batched measure call per
 measured step; for N>1 the measure cost is O(N) per *measured* step while
 integrand evaluation stays O(1) per step (use ``measurefreq`` to amortize
@@ -145,8 +149,6 @@ def mcmc_eligible(spec, *, measure, weight_dtype, obs_proto=None,
     if not cplx and weight_dtype != jnp.float32:
         return no(f"weight dtype {jnp.dtype(weight_dtype).name} "
                   "(kernel supports float32 and complex64)")
-    if cplx and measure is not None:
-        return no("complex custom measures run on the XLA :mcmc path")
     nd = spec.N + 1
     if nd > 62:            # adjacency bitmask lives in two int32 words
         return no(f"{spec.N} integrands > 61 (two-word adjacency bitmask)")
@@ -1241,8 +1243,14 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
                 @pl.when(measured)
                 def _():
                     ok = (~in_norm) & (prob_reg > TINY_F32)
-                    relw = jnp.where(
-                        ok, weight / jnp.where(ok, prob_reg, 1.0), 0.0)
+                    invp = jnp.where(
+                        ok, 1.0 / jnp.where(ok, prob_reg, 1.0), 0.0)
+                    if cplx:
+                        # complex relw rides as an (re, im) pair into the
+                        # realified measure (make_measure_batched_idx_pairs)
+                        relw = (weight[0] * invp, weight[1] * invp)
+                    else:
+                        relw = weight * invp
                     leaf_vals = eval_leaf_vals(vals)
                     for i in range(n):
                         sel = (curr == i)
@@ -1406,12 +1414,24 @@ def build_mcmc_run_all(spec, evals_b: List[Callable], *, block: int,
 
         obs_b = outs[0]
         if measure_b is not None:
-            # rebuild the observable pytree with leading [block] axis
+            # rebuild the observable pytree with leading [block] axis;
+            # complex proto leaves recombine their re/im component groups
+            # as encode_complex marker dicts (the axon TPU runtime cannot
+            # emit complex jit outputs — engine.py), decoded by
+            # decode_complex_numpy in MCMCIteration.run
+            from ..solvers.engine import _CPLX_IM, _CPLX_RE
+
             cols, k = [], 0
-            for shape in comp_shapes:
+            for shape, iscpx in comp_infos:
                 m = max(int(np.prod(shape)), 1)
-                cols.append(obs_b[:, k:k + m].reshape((B,) + shape))
-                k += m
+                if iscpx:
+                    re = obs_b[:, k:k + m].reshape((B,) + shape)
+                    im = obs_b[:, k + m:k + 2 * m].reshape((B,) + shape)
+                    cols.append({_CPLX_RE: re, _CPLX_IM: im})
+                    k += 2 * m
+                else:
+                    cols.append(obs_b[:, k:k + m].reshape((B,) + shape))
+                    k += m
             obs_b = jax.tree_util.tree_unflatten(proto_def, cols)
         norm_b = outs[1][:, 0]
         visited = outs[2][0]

@@ -110,11 +110,25 @@ class MCMCIteration:
                         spec, integrand, weight_dtype)
                 measure_b = None
                 meas_ok = evals_b is not None
-                if measure is not None:
-                    measure_b = pallas_mcmc.make_measure_batched_idx(
-                        spec, measure, weight_dtype, obs_proto)
-                    meas_ok = pallas_mcmc.validate_measure_batched_idx(
-                        spec, measure_b, measure, obs_proto)
+                if measure is not None and meas_ok:
+                    if cplx:
+                        # complex custom measures: realified pair path
+                        # (the last complex-uniformity hole on a fast
+                        # path, src/statistics.jl:207-214)
+                        try:
+                            measure_b = \
+                                pallas_mcmc.make_measure_batched_idx_pairs(
+                                    spec, measure, obs_proto)
+                            meas_ok = \
+                                pallas_mcmc.validate_measure_batched_idx_pairs(
+                                    spec, measure_b, measure, obs_proto)
+                        except Exception:
+                            meas_ok = False
+                    else:
+                        measure_b = pallas_mcmc.make_measure_batched_idx(
+                            spec, measure, weight_dtype, obs_proto)
+                        meas_ok = pallas_mcmc.validate_measure_batched_idx(
+                            spec, measure_b, measure, obs_proto)
                 S = 0
                 for cand in (16, 8):
                     if block * cand * 128 > W:
@@ -200,7 +214,10 @@ class MCMCIteration:
                         cplx=cplx)
                     self.backend = "pallas"
                     self.backend_reason = ""
-                    self._pallas_cplx = cplx
+                    # default-measure complex uses the flat [B, 2n] re/im
+                    # column layout; custom-measure complex comes back as
+                    # encode_complex marker dicts (decoded generically)
+                    self._pallas_cplx = cplx and measure_b is None
                     rows_local = block * wtiles
 
                     if ndev > 1:

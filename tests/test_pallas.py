@@ -680,17 +680,20 @@ def test_mcmc_pallas_fallbacks():
     assert it.backend == "pallas"
     assert it._pallas_cplx
 
-    # complex + custom measure -> xla (realify stops at default measure)
+    # complex + custom measure is served in-kernel since round 5 through
+    # the realified pair measure path (make_measure_batched_idx_pairs) —
+    # the last complex-uniformity hole on any fast path is closed
     cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1,
                         obs=[np.zeros(2)], type=complex)
     it = MCMCIteration(Spec(cfg),
                        lambda i, x, c: jnp.exp(1j * x[0]),
                        measure=lambda i, x, w, c: [
-                           onehot(i, 0, 2, w.dtype, like=w) * w],
+                           onehot(i, 0, 1, w.dtype, like=w) * w],
                        obs_proto=[np.zeros(2, np.complex64)], block=2,
                        nevalperblock=2 ** 19, backend="pallas",
                        nwalkers=2048, weight_dtype=jnp.complex64)
-    assert it.backend == "xla"
+    assert it.backend == "pallas"
+    assert not it._pallas_cplx     # marker-dict layout, decoded generically
 
     # short chains (auto walker budget, tiny neval) -> xla
     it = MCMCIteration(Spec(cfg),
@@ -811,6 +814,60 @@ def test_mcmc_pallas_measure_statistical():
         for k in range(4):
             assert abs(mean[k] - exact[k]) < 10 * max(err[k], 2e-2), (
                 be, k, mean[k], err[k], exact[k])
+
+
+def test_mcmc_pallas_complex_custom_measure():
+    """Complex custom measures run inside the fused :mcmc kernel (round 5:
+    the last complex-uniformity hole on any fast path): the measure is
+    lifted through realify with an (re, im) pair relative weight, complex
+    observable components accumulate as consecutive re/im channels, and
+    the result matches both the exact value and the XLA path."""
+    from mcintegration_tpu.models.variable import Discrete as D
+
+    Q = 3
+
+    def f(i, x, c):
+        t, d = x
+        return jnp.exp(1j * t[0])
+
+    from mcintegration_tpu import onehot
+
+    def meas(i, x, w, c):
+        t, d = x
+        return [onehot(d[0], 1, Q, w.dtype) * w]
+
+    # per external index q: int_0^1 e^{it} dt = sin(1) + i(1 - cos(1))
+    exact = np.sin(1.0) + 1j * (1.0 - np.cos(1.0))
+    res = {}
+    for be in ("xla", "pallas"):
+        obs = [np.zeros(Q, np.complex64)]
+        cfg = Configuration(var=(Continuous(0.0, 1.0), D(1, Q)),
+                            dof=[[1, 1]], seed=31, obs=obs, type=complex)
+        spec = Spec(cfg)
+        from mcintegration_tpu.solvers.mcmc import MCMCIteration
+        it = MCMCIteration(spec, f, measure=meas, obs_proto=obs,
+                           block=4, nevalperblock=2 ** 15, backend=be,
+                           nwalkers=8192, thermal_ratio=0.3,
+                           weight_dtype=jnp.complex64)
+        assert it.backend == be
+        st = it.run(spec.device_params(), jax.random.key(12))
+        ob = np.asarray(st["obs_blocks"][0])    # [block, Q] complex
+        assert np.iscomplexobj(ob)
+        nb = np.asarray(st["norm_blocks"])[:, None]
+        m = ob / nb
+        err = (m.real.std(axis=0, ddof=1)
+               + 1j * m.imag.std(axis=0, ddof=1)) / np.sqrt(len(m))
+        res[be] = (m.mean(axis=0), err)
+        for q in range(Q):
+            mu, er = m.mean(axis=0)[q], err[q]
+            assert abs(mu.real - exact.real) < 10 * max(er.real, 2e-2), \
+                (be, q, mu, er)
+            assert abs(mu.imag - exact.imag) < 10 * max(er.imag, 2e-2), \
+                (be, q, mu, er)
+    for q in range(Q):
+        d = res["xla"][0][q] - res["pallas"][0][q]
+        s = np.hypot(abs(res["xla"][1][q]), abs(res["pallas"][1][q]))
+        assert abs(d) < 7 * max(s, 2e-2), (q, d, s)
 
 
 def test_mcmc_pallas_sharded_over_mesh():
