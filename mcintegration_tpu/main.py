@@ -67,10 +67,16 @@ def _value_sig(v, _depth=0):
     Scalars hash by value; arrays by (shape, dtype, content digest);
     containers recurse.  Anything else (mutable objects, dicts with
     non-str keys, ...) returns None so the caller refuses to cache."""
+    import types
     if _depth > 4:
         return None
     if v is None or isinstance(v, (bool, int, float, complex, str, bytes)):
         return ("s", v)
+    if isinstance(v, types.ModuleType):
+        # functions defined under local imports close over the module
+        # object itself; identity-by-name is sound (reassigning module
+        # attributes mid-run is out of contract, same as jit)
+        return ("mod", v.__name__)
     if isinstance(v, (np.ndarray, np.generic)) or hasattr(v, "__jax_array__") \
             or type(v).__module__.startswith("jax"):
         try:

@@ -34,6 +34,7 @@ measure=None, measurefreq=1, real weights, modest VMEM footprint.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, List
 
 import numpy as np
@@ -105,11 +106,22 @@ def build_view(spec):
                 li = spec.leaves[lidx]
                 drawn = leaf_vals[lidx]
                 if li.offset > 0:
-                    fixed = np.asarray(li.leaf.fixed_values()[: li.offset])
-                    fixed = jnp.broadcast_to(
-                        jnp.asarray(fixed, drawn.dtype)[:, None, None],
-                        (li.offset,) + drawn.shape[1:])
-                    full = jnp.concatenate([fixed, drawn], axis=0)
+                    # fixed slots as SCALAR fills, never array constants:
+                    # pallas_call rejects captured array constants in the
+                    # kernel body (found by tests/test_fuzz.py)
+                    fv = np.asarray(li.leaf.fixed_values()[: li.offset])
+                    tiles = []
+                    for k in range(li.offset):
+                        if fv.ndim == 1:
+                            tiles.append(jnp.full(
+                                (1,) + drawn.shape[1:], fv[k].item(),
+                                drawn.dtype))
+                        else:           # FermiK: one fill per component
+                            tiles.append(jnp.concatenate(
+                                [jnp.full((1, 1) + drawn.shape[2:],
+                                          fv[k, d].item(), drawn.dtype)
+                                 for d in range(fv.shape[1])], axis=1))
+                    full = jnp.concatenate(tiles + [drawn], axis=0)
                 else:
                     full = drawn
                 member_views.append(full)
@@ -500,9 +512,17 @@ def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
             out_shape=out_shape,
             out_specs=out_specs,
             scratch_shapes=[pltpu.SMEM((B, n), jnp.float32)],
-            # the TPU interpreter (not the generic one) implements the
-            # pltpu prng primitives, enabling CPU tests of this kernel
-            interpret=pltpu.InterpretParams() if interpret else False,
+            # CPU tests run under the TPU-semantics interpreter
+            # (InterpretParams).  That interpreter executes through host
+            # callbacks, which DEADLOCK under a multi-process
+            # jax.distributed mesh (verified with a minimal repro); the
+            # cross-process test (tests/test_multiprocess.py) sets
+            # MCI_PALLAS_GENERIC_INTERPRET=1 to use the generic pure-JAX
+            # interpreter instead — valid for this kernel because its
+            # interpret path avoids all pltpu primitives (_make_rng).
+            interpret=((True if os.environ.get(
+                "MCI_PALLAS_GENERIC_INTERPRET")
+                else pltpu.InterpretParams()) if interpret else False),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(kd, atab, *tabs)
