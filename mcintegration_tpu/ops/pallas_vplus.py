@@ -4,8 +4,8 @@ The XLA pipeline (solvers/vegasplus.py) pays ~15x over plain stratified
 vegas in cube bookkeeping: the per-cube second-moment scatter alone costs
 2*ncubes MACs per sample through the factored one-hot matmul
 (ops/lookup.py) — 32 kFLOP/sample at ncubes=16384 — plus per-sample
-two_level_take map lookups.  Measured: 0.15 G evals/s on the 2-D pi
-benchmark.
+two_level_take map lookups.  Measured rates for both paths live in
+BENCHMARKS.md (generated from committed measurement rows).
 
 This kernel removes BOTH costs by aligning the sample layout with the
 stratification (cf. the m-CUBES GPU scheme's cube-per-thread layout,
