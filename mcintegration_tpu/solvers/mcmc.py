@@ -129,41 +129,45 @@ class MCMCIteration:
                             spec, measure, weight_dtype, obs_proto)
                         meas_ok = pallas_mcmc.validate_measure_batched_idx(
                             spec, measure_b, measure, obs_proto)
-                S = 0
-                for cand in (16, 8):
-                    if block * cand * 128 > W:
-                        continue
-                    from ..models.variable import Continuous
-                    if all((cand * 128) % li.leaf.ninc == 0
-                           for li in spec.leaves
-                           if li.ndraw > 0
-                           and isinstance(li.leaf, Continuous)):
-                        S = cand
-                        break
                 # ROUTING HEURISTIC (steps_min ∝ N): in the scheduled
                 # kernel a walker updates on ~(2nvar+2)/(N*(2nvar+1)) of
                 # steps (module docstring), vs every step in the XLA scan,
                 # so for the same per-walker equilibration the fused path
                 # needs ~N*C/(C+1) x min_steps_per_walker kernel steps per
-                # walker (C = 2*nvar+1).  When the neval budget cannot fund
-                # at least one walker tile with that many steps, the solver
-                # routes to XLA — statistically sound but ~10x slower per
-                # eval for wide bundles; the fallback is surfaced via
-                # Result.backend/backend_reason, and pinned by
-                # tests/test_interface.py::test_mcmc_routing_boundary.
-                # Passing nwalkers= explicitly overrides the heuristic.
+                # walker (C = 2*nvar+1).  Tile selection is BUDGET-AWARE
+                # (round 5): prefer the wide 16x128 tile, but when the
+                # neval budget cannot fund it with steps_min steps, fall
+                # to the 8x128 tile before giving up — a half-width fused
+                # tile still runs ~10x faster per eval than the XLA scan.
+                # Only when no tile fits does the solver route to XLA; the
+                # fallback is surfaced via Result.backend/backend_reason,
+                # and pinned by tests/test_interface.py::
+                # test_mcmc_routing_boundary.  Passing nwalkers=
+                # explicitly overrides the steps heuristic.
+                from ..models.variable import Continuous
                 C = 2 * spec.nvar + 1
                 steps_min = max(
                     int(min_steps_per_walker) * spec.N * C // (C + 1), 64)
-                if S > 0:
-                    w_tile = block * S * 128 * ndev
+                S, wtiles = 0, 0
+                for cand in (16, 8):
+                    if block * cand * 128 > W:
+                        continue
+                    if not all((cand * 128) % li.leaf.ninc == 0
+                               for li in spec.leaves
+                               if li.ndraw > 0
+                               and isinstance(li.leaf, Continuous)):
+                        continue
+                    S = cand     # last eligible tile tried (reason msg)
+                    w_tile = block * cand * 128 * ndev
                     wt_budget = int(neval) // (w_tile * steps_min)
-                    wtiles = max(0, min(W // (block * S * 128), wt_budget))
+                    cand_wtiles = max(
+                        0, min(W // (block * cand * 128), wt_budget))
                     if nwalkers is not None:
                         # explicit nwalkers overrides the steps heuristic
-                        wtiles = max(1, W // (block * S * 128))
-                else:
-                    wtiles = 0
+                        cand_wtiles = max(1, W // (block * cand * 128))
+                    if cand_wtiles > 0:
+                        S, wtiles = cand, cand_wtiles
+                        break
                 if S == 0:
                     self.backend_reason = (
                         f"no {8 * 128}/{16 * 128}-walker tile fits "
@@ -171,13 +175,15 @@ class MCMCIteration:
                         "Continuous ninc dividing it (raise neval or "
                         "nwalkers)")
                 elif wtiles == 0:
+                    # S = the smallest budget-tried eligible tile width
+                    tile_min = block * S * 128 * ndev
                     self.backend_reason = (
                         f"neval={int(neval):.3g} funds fewer than "
-                        f"{steps_min} scheduled steps per "
-                        f"{block * S * 128 * ndev}-walker tile at "
-                        f"N={spec.N} (steps_min scales with N; raise neval "
-                        f"~{steps_min * block * S * 128 * ndev:.2g} or pass "
-                        "nwalkers= to force the fused kernel)")
+                        f"{steps_min} scheduled steps for even a "
+                        f"{tile_min}-walker tile at N={spec.N} (steps_min "
+                        "scales with N; raise neval to "
+                        f"~{steps_min * tile_min:.2g} or pass nwalkers= to "
+                        "force the fused kernel)")
                 elif evals_b is None:
                     self.backend_reason = (
                         "the complex integrand uses a primitive without a "

@@ -297,6 +297,13 @@ def test_mcmc_routing_boundary():
     assert low.backend == "xla", low.backend
     assert "steps" in low.backend_reason and "nwalkers" in low.backend_reason
 
+    # mid: the wide 16x128 tile cannot be funded but the budget-aware
+    # selection (round 5) falls to the half-width 8x128 tile instead of
+    # XLA — measured 87 -> 641 M steps/s at the N=16@1e8 cliff
+    mid = build(15_000_000)
+    assert mid.backend == "pallas", mid.backend_reason
+    assert mid.nwalkers == 16 * 8 * 128, mid.nwalkers
+
     # above: fused kernel selected (construction only — no interpret run)
     high = build(30_000_000)
     assert high.backend == "pallas", high.backend_reason
