@@ -405,3 +405,137 @@ def fetch_stats(outs):
     if jax.process_count() > 1:
         return outs
     return jax.device_get(outs)
+
+
+# ---------------------------------------------------------------------------
+# power-of-two shadow maps: non-pow2 Continuous pools on the lattice kernels
+# ---------------------------------------------------------------------------
+
+def _resample_grid(grid: np.ndarray, ninc_k: int) -> np.ndarray:
+    """Resample a Vegas map to ninc_k increments.
+
+    A Vegas grid IS the inverse CDF of the learned density evaluated at
+    uniform quantiles; interpolating it at ninc_k uniform quantiles yields
+    another valid Vegas map of (approximately) the same distribution.
+    Sampling through the resampled map with its OWN density is exactly
+    unbiased regardless of the approximation (the density used is the
+    density sampled) — the same argument as the vegas+ kernel's exact
+    coarsening (ops/pallas_vplus.py item 2).
+    """
+    ninc = len(grid) - 1
+    q = np.linspace(0.0, 1.0, ninc_k + 1)
+    gk = np.interp(q, np.linspace(0.0, 1.0, ninc + 1), grid)
+    gk[0], gk[-1] = grid[0], grid[-1]
+    return np.maximum.accumulate(gk)
+
+
+def _overlap_matrix(gk: np.ndarray, gu: np.ndarray) -> np.ndarray:
+    """M[i, j] = fraction of kernel bin j's x-extent inside user bin i.
+
+    Both grids partition the same interval; columns sum to 1, so
+    redistributing histogram counts through M conserves total mass.
+    """
+    nu = len(gu) - 1
+    nk = len(gk) - 1
+    u = np.interp(gk, gu, np.arange(nu + 1, dtype=np.float64))
+    ua, ub = u[:-1], np.maximum(u[1:], u[:-1] + 1e-12)
+    M = np.zeros((nu, nk))
+    base = np.floor(ua).astype(int)
+    kmax = int(np.max(np.ceil(ub) - base))
+    cols = np.arange(nk)
+    for k in range(max(kmax, 1)):
+        i = base + k
+        frac = np.clip((np.minimum(ub, i + 1) - np.maximum(ua, i))
+                       / (ub - ua), 0.0, None)
+        ok = i < nu
+        np.add.at(M, (np.clip(i, 0, nu - 1), cols), np.where(ok, frac, 0.0))
+    return M
+
+
+def pow2_shadow(spec: Spec):
+    """Serve non-power-of-two Continuous pools on the lattice-roll kernels.
+
+    The fused Markov kernels (ops/pallas_chain.py, ops/pallas_mcmc.py)
+    draw Continuous slots with cyclic lattice rolls, which require ninc to
+    be a power of two dividing the walker tile (<= 1024).  Other ninc
+    values (the reference's default grid has 999 increments; very fine
+    grids exceed the tile) previously routed the whole problem to the
+    XLA scan.  Instead, the kernel now samples
+    through a power-of-two RESAMPLE of the live user map, rebuilt from the
+    float64 user grid every iteration:
+
+    - estimator: unbiased — the kernel computes its sampling density
+      exactly from the resampled map (see :func:`_resample_grid`);
+    - adaptation: the kernel's ninc_k-bin training histogram is
+      redistributed onto the user's ninc bins by interval overlap
+      (:func:`_overlap_matrix`) before ``Continuous.train`` sees it, so
+      the user map keeps adapting at its own resolution.
+
+    Returns ``(spec_k, shadow)``: ``spec_k`` is the BUILD-time spec whose
+    affected leaves are pow2 clones (the original spec is untouched), and
+    ``shadow`` is None when nothing needs resampling.  At run time,
+    ``shadow(spec_live, params) -> (params_k, remap)`` rebuilds the
+    affected leaves' lookup tables from ``spec_live``'s current grids
+    (``spec_live`` is passed per call so kernel-cache spec rebinds stay
+    correct) and ``remap(hists)`` converts the kernel histograms back to
+    user-resolution bins.
+    """
+    import copy
+
+    from ..models.variable import Continuous
+    from ..ops.lookup import pack_table
+
+    affected = {}
+    for lidx, li in enumerate(spec.leaves):
+        lf = li.leaf
+        if (li.ndraw > 0 and isinstance(lf, Continuous)
+                and (lf.ninc & (lf.ninc - 1) or lf.ninc > 1024)):
+            # non-pow2 ninc, or pow2 too large for the walker tile:
+            # both sample through a <=1024-increment resample
+            ninc_k = 1
+            while ninc_k < lf.ninc and ninc_k < 1024:
+                ninc_k *= 2
+            affected[lidx] = ninc_k
+    if not affected:
+        return spec, None
+
+    ud = spec.cfg.userdata
+    spec.cfg.userdata = None
+    try:
+        spec_k = copy.deepcopy(spec)
+    finally:
+        spec.cfg.userdata = ud
+    spec_k.cfg.userdata = ud
+    spec_k.uconfig.userdata = ud
+    for lidx, ninc_k in affected.items():
+        li = spec_k.leaves[lidx]
+        lf = li.leaf
+        clone = Continuous(lf.lower, lf.upper, lf.size, offset=lf.offset,
+                           alpha=lf.alpha, adapt=lf.adapt,
+                           grid=_resample_grid(lf.grid, ninc_k))
+        li.leaf = clone
+        li.nhist = clone.nhist
+
+    def shadow(spec_live: Spec, params):
+        params_k = dict(params)
+        params_k["leaf"] = list(params["leaf"])
+        remap_mats = {}
+        for lidx, ninc_k in affected.items():
+            grid_u = spec_live.leaves[lidx].leaf.grid    # live float64 map
+            gk = _resample_grid(grid_u, ninc_k)
+            tab = np.stack([gk[:-1], np.diff(gk)], axis=1)
+            params_k["leaf"][lidx] = {
+                "tab": jnp.asarray(pack_table(tab, pad_value=1.0),
+                                   spec_live.dtype)}
+            remap_mats[lidx] = _overlap_matrix(gk, grid_u)
+
+        def remap(hists):
+            out = list(hists)
+            for lidx, M in remap_mats.items():
+                h = np.asarray(hists[lidx], np.float64)[: affected[lidx]]
+                out[lidx] = M @ h
+            return out
+
+        return params_k, remap
+
+    return spec_k, shadow

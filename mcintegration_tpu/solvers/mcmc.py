@@ -77,23 +77,29 @@ class MCMCIteration:
         self.backend = "xla"
         self.backend_reason = ("backend='xla' requested" if backend == "xla"
                                else "")
+        self._shadow = None
         if backend in ("auto", "pallas"):
             from ..ops import pallas_mcmc
+            from .engine import pow2_shadow
             devs = (np.asarray(mesh.devices).ravel() if mesh is not None
                     else jax.devices())
             interp = devs[0].platform == "cpu"
+            # non-power-of-two Continuous pools run through a pow2
+            # resample of the live map (engine.pow2_shadow); the kernel
+            # is BUILT against spec_b, the original spec stays untouched
+            spec_b, shadow = pow2_shadow(spec)
             why: list = []
             if backend != "pallas" and interp:
                 self.backend_reason = (
                     "no TPU device (interpret-mode Pallas is slower than "
                     "XLA; pass backend='pallas' to force it)")
             elif not pallas_mcmc.mcmc_eligible(
-                    spec, measure=measure, weight_dtype=weight_dtype,
+                    spec_b, measure=measure, weight_dtype=weight_dtype,
                     obs_proto=obs_proto, why=why):
                 self.backend_reason = why[0] if why else "spec not eligible"
             if ((backend == "pallas" or not interp)
                     and pallas_mcmc.mcmc_eligible(
-                        spec, measure=measure, weight_dtype=weight_dtype,
+                        spec_b, measure=measure, weight_dtype=weight_dtype,
                         obs_proto=obs_proto)):
                 cplx = weight_dtype == jnp.complex64
                 if cplx:
@@ -102,12 +108,12 @@ class MCMCIteration:
                     # without a rewrite rule fails the probe -> XLA path
                     try:
                         evals_b = pallas_mcmc.make_eval_batched_idx_pairs(
-                            spec, integrand)
+                            spec_b, integrand)
                     except Exception:
                         evals_b = None
                 else:
                     evals_b = pallas_mcmc.make_eval_batched_idx(
-                        spec, integrand, weight_dtype)
+                        spec_b, integrand, weight_dtype)
                 measure_b = None
                 meas_ok = evals_b is not None
                 if measure is not None and meas_ok:
@@ -118,17 +124,17 @@ class MCMCIteration:
                         try:
                             measure_b = \
                                 pallas_mcmc.make_measure_batched_idx_pairs(
-                                    spec, measure, obs_proto)
+                                    spec_b, measure, obs_proto)
                             meas_ok = \
                                 pallas_mcmc.validate_measure_batched_idx_pairs(
-                                    spec, measure_b, measure, obs_proto)
+                                    spec_b, measure_b, measure, obs_proto)
                         except Exception:
                             meas_ok = False
                     else:
                         measure_b = pallas_mcmc.make_measure_batched_idx(
-                            spec, measure, weight_dtype, obs_proto)
+                            spec_b, measure, weight_dtype, obs_proto)
                         meas_ok = pallas_mcmc.validate_measure_batched_idx(
-                            spec, measure_b, measure, obs_proto)
+                            spec_b, measure_b, measure, obs_proto)
                 # ROUTING HEURISTIC (steps_min ∝ N): in the scheduled
                 # kernel a walker updates on ~(2nvar+2)/(N*(2nvar+1)) of
                 # steps (module docstring), vs every step in the XLA scan,
@@ -153,7 +159,7 @@ class MCMCIteration:
                     if block * cand * 128 > W:
                         continue
                     if not all((cand * 128) % li.leaf.ninc == 0
-                               for li in spec.leaves
+                               for li in spec_b.leaves
                                if li.ndraw > 0
                                and isinstance(li.leaf, Continuous)):
                         continue
@@ -196,9 +202,9 @@ class MCMCIteration:
                 go = wtiles > 0 and meas_ok
                 if go:
                     go = (pallas_mcmc.validate_batched_idx_pairs(
-                              spec, evals_b, integrand) if cplx
+                              spec_b, evals_b, integrand) if cplx
                           else pallas_mcmc.validate_batched_idx(
-                              spec, evals_b, integrand, weight_dtype))
+                              spec_b, evals_b, integrand, weight_dtype))
                     if not go:
                         self.backend_reason = (
                             "the batched-integrand probe did not reproduce "
@@ -212,8 +218,9 @@ class MCMCIteration:
                     nburnin = int(np.floor(self.nsteps * thermal_ratio))
                     self.nburnin = nburnin
                     self.neval = Wg * (self.nsteps + nburnin)  # refined in run()
+                    self._shadow = shadow
                     run_all_pallas = pallas_mcmc.build_mcmc_run_all(
-                        spec, evals_b, block=block, wtiles=wtiles, S=S,
+                        spec_b, evals_b, block=block, wtiles=wtiles, S=S,
                         nsteps=self.nsteps, nburnin=nburnin,
                         mf=measurefreq, interpret=interp,
                         measure_b=measure_b, obs_proto=obs_proto,
@@ -624,11 +631,18 @@ class MCMCIteration:
         nvar = spec.nvar
         nmax = max(nd, nvar)
         if self.backend == "pallas":
+            hist_remap = None
+            if self._shadow is not None:
+                # pow2 shadow maps (engine.pow2_shadow): rebuild affected
+                # leaf tables from THIS call's live grids, remap histograms
+                params, hist_remap = self._shadow(self.spec, params)
             kd = np.asarray(jax.random.key_data(
                 jax.random.split(key, self._pallas_rows)))
             keys = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
             obs_b, norm_b, visited, hists, pc, ac, evals = fetch_stats(
                 self._fn(params, keys))
+            if hist_remap is not None:
+                hists = hist_remap(hists)
             obs_b = jax.tree_util.tree_map(gather_rows, obs_b)
             if getattr(self, "_pallas_cplx", False):
                 # kernel component layout: [.., 2i] = Re w_i, [.., 2i+1] = Im

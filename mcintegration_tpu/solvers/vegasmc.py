@@ -99,41 +99,47 @@ class VegasMCIteration:
         self.backend = "xla"
         self.backend_reason = ("backend='xla' requested" if backend == "xla"
                                else "")
+        self._shadow = None
         if backend in ("auto", "pallas"):
             from ..models.variable import Continuous
             from ..ops import pallas_chain, pallas_vegas
+            from .engine import pow2_shadow
             devs = (np.asarray(mesh.devices).ravel() if mesh is not None
                     else jax.devices())
             interp = devs[0].platform == "cpu"
+            # non-power-of-two Continuous pools run through a pow2
+            # resample of the live map (engine.pow2_shadow); the kernel
+            # is BUILT against spec_b, the original spec stays untouched
+            spec_b, shadow = pow2_shadow(spec)
             why: list = []
             if backend != "pallas" and interp:
                 self.backend_reason = (
                     "no TPU device (interpret-mode Pallas is slower than "
                     "XLA; pass backend='pallas' to force it)")
             elif not pallas_chain.chain_eligible(
-                    spec, measure=measure, weight_dtype=weight_dtype,
+                    spec_b, measure=measure, weight_dtype=weight_dtype,
                     obs_proto=obs_proto, why=why):
                 self.backend_reason = why[0] if why else "spec not eligible"
             if ((backend == "pallas" or not interp)
                     and pallas_chain.chain_eligible(
-                        spec, measure=measure, weight_dtype=weight_dtype,
+                        spec_b, measure=measure, weight_dtype=weight_dtype,
                         obs_proto=obs_proto)):
                 cplx = weight_dtype == jnp.complex64
-                eval_fn_probe = spec.make_eval(integrand, inplace,
-                                               weight_dtype)
+                eval_fn_probe = spec_b.make_eval(integrand, inplace,
+                                                 weight_dtype)
                 if cplx:
                     # complex weights run as (re, im) f32 pairs inside the
                     # kernel (ops/realify.py); any complex primitive
                     # without a rewrite rule fails the probe -> XLA path
                     try:
                         eval_b = pallas_vegas.make_eval_batched_pairs(
-                            spec, integrand, inplace)
+                            spec_b, integrand, inplace)
                         validate = pallas_vegas.validate_batched_pairs
                     except Exception:
                         eval_b = None
                 else:
                     eval_b = pallas_vegas.make_eval_batched(
-                        spec, integrand, inplace, weight_dtype)
+                        spec_b, integrand, inplace, weight_dtype)
                     validate = pallas_vegas.validate_batched
                 measure_b = None
                 measure_ok = eval_b is not None
@@ -142,17 +148,17 @@ class VegasMCIteration:
                         # complex custom measures: realified pair path
                         try:
                             measure_b = pallas_chain.make_measure_batched_pairs(
-                                spec, measure, obs_proto)
+                                spec_b, measure, obs_proto)
                             measure_ok = \
                                 pallas_chain.validate_measure_batched_pairs(
-                                    spec, measure_b, measure, obs_proto)
+                                    spec_b, measure_b, measure, obs_proto)
                         except Exception:
                             measure_ok = False
                     else:
                         measure_b = pallas_chain.make_measure_batched(
-                            spec, measure, weight_dtype, obs_proto)
+                            spec_b, measure, weight_dtype, obs_proto)
                         measure_ok = pallas_chain.validate_measure_batched(
-                            spec, measure_b, measure, obs_proto)
+                            spec_b, measure_b, measure, obs_proto)
                 # per-device shapes: `block` and `W` are already local.
                 # Pick the largest walker tile that (a) fits the requested
                 # walker budget without inflating it (which would shorten
@@ -164,7 +170,7 @@ class VegasMCIteration:
                     if block * cand * 128 > W:
                         continue
                     if all((cand * 128) % li.leaf.ninc == 0
-                           for li in spec.leaves
+                           for li in spec_b.leaves
                            if li.ndraw > 0
                            and isinstance(li.leaf, Continuous)):
                         S = cand
@@ -185,7 +191,7 @@ class VegasMCIteration:
                         "the batched custom-measure probe did not reproduce "
                         "the per-sample evaluation (measure not "
                         "batch-rewritable)")
-                elif not validate(spec, eval_b, eval_fn_probe):
+                elif not validate(spec_b, eval_b, eval_fn_probe):
                     ok = False
                     self.backend_reason = (
                         "the batched-integrand probe did not reproduce the "
@@ -197,8 +203,9 @@ class VegasMCIteration:
                     self.nwalkers = Wg
                     self.nsteps = max(int(neval) // Wg, 8)
                     self.neval = Wg * self.nsteps
+                    self._shadow = shadow
                     run_all_pallas = pallas_chain.build_chain_run_all(
-                        spec, eval_b, block=block, wtiles=wtiles, S=S,
+                        spec_b, eval_b, block=block, wtiles=wtiles, S=S,
                         nsteps=self.nsteps, mf=measurefreq,
                         interpret=interp, measure_batched=measure_b,
                         obs_proto=obs_proto,
@@ -449,10 +456,17 @@ class VegasMCIteration:
     def run(self, params, key):
         nrows = (self._pallas_rows if self.backend == "pallas"
                  else self._ndev)
+        hist_remap = None
+        if self._shadow is not None and self.backend == "pallas":
+            # pow2 shadow maps (engine.pow2_shadow): rebuild the affected
+            # leaves' tables from THIS call's live grids, remap histograms
+            params, hist_remap = self._shadow(self.spec, params)
         kd = np.asarray(jax.random.key_data(jax.random.split(key, nrows)))
         keys = distribute_rows(self.mesh if self._ndev > 1 else None, kd)
         obs_b, norm_b, visited, hists, prop_cnt, acc_cnt = fetch_stats(
             self._fn(params, keys))
+        if hist_remap is not None:
+            hists = hist_remap(hists)
         obs_b = jax.tree_util.tree_map(gather_rows, obs_b)
         if getattr(self, "_pallas_cplx", False):
             # kernel component layout: [.., 2i] = Re w_i, [.., 2i+1] = Im w_i

@@ -153,14 +153,15 @@ def test_chain_fallbacks():
     from mcintegration_tpu.models.variable import FermiK
     from mcintegration_tpu.solvers.mcmc import MCMCIteration
 
-    # non-power-of-two ninc -> xla (lattice-roll requirement)
+    # non-power-of-two ninc is served FUSED since round 5 through the
+    # pow2 shadow resample (engine.pow2_shadow; test_pow2_shadow_*)
     from mcintegration_tpu.solvers.vegasmc import VegasMCIteration
     cfg = Configuration(var=Continuous(0.0, 1.0, ninc=1000), dof=[[2]],
                         seed=1)
     spec = Spec(cfg)
     it = VegasMCIteration(spec, _pi, block=4, nevalperblock=2 ** 12,
-                          backend="pallas")
-    assert it.backend == "xla"
+                          backend="pallas", nwalkers=4096)
+    assert it.backend == "pallas"
 
     # per-sample-style measure that cannot broadcast -> caught by the
     # measure equivalence probe -> xla
@@ -891,3 +892,86 @@ def test_mcmc_pallas_sharded_over_mesh():
     m = st["obs_blocks"][:, 0] / st["norm_blocks"]
     err = m.std(ddof=1) / np.sqrt(len(m))
     assert abs(m.mean() - np.pi / 4) < 10 * max(err, 5e-3)
+
+
+def test_pow2_shadow_serves_any_ninc():
+    """Non-power-of-two (and >1024) Continuous grids run FUSED through an
+    unbiased power-of-two resample of the live map (engine.pow2_shadow,
+    round 5): the reference's default 999-increment grid no longer routes
+    the whole problem to the XLA scan.  Checks chain-kernel engagement,
+    statistical parity vs XLA, user-resolution histograms, and that
+    adaptation still reshapes the user grid."""
+    from mcintegration_tpu.solvers.engine import (Spec, _overlap_matrix,
+                                                  _resample_grid)
+    from mcintegration_tpu.solvers.vegasmc import VegasMCIteration
+
+    # unit properties of the resample/remap machinery
+    rng = np.random.default_rng(7)
+    grid = np.cumsum(rng.uniform(0.5, 1.5, 999))
+    grid = np.concatenate([[0.0], grid / grid[-1]])
+    gk = _resample_grid(grid, 1024)
+    assert len(gk) == 1025 and (np.diff(gk) > 0).all()
+    assert gk[0] == grid[0] and gk[-1] == grid[-1]
+    M = _overlap_matrix(gk, grid)
+    assert M.shape == (999, 1024)
+    np.testing.assert_allclose(M.sum(axis=0), 1.0, atol=1e-9)
+
+    f = lambda x, c: -jnp.log(jnp.maximum(x[0], 1e-30)) \
+        / jnp.sqrt(jnp.maximum(x[0], 1e-30)) / 4.0
+    res = {}
+    for ninc, be in ((1000, "pallas"), (2048, "pallas"), (1000, "xla")):
+        cfg = Configuration(var=Continuous(0.0, 1.0, ninc=ninc),
+                            dof=[[1]], seed=5)
+        spec = Spec(cfg)
+        it = VegasMCIteration(spec, f, block=4, nevalperblock=2 ** 15,
+                              backend=be, nwalkers=8192)
+        assert it.backend == be, it.backend_reason
+        st = it.run(spec.device_params(), jax.random.key(3))
+        # histograms come back at USER resolution
+        assert st["hists"][0].shape == (ninc,)
+        m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+        res[(ninc, be)] = (m.mean(), m.std(ddof=1) / 2)
+    d = abs(res[(1000, "pallas")][0] - res[(1000, "xla")][0])
+    s = np.hypot(res[(1000, "pallas")][1], res[(1000, "xla")][1])
+    assert d < 7 * max(s, 1e-3), (d, s, res)
+
+    # end-to-end: the user's 1000-increment grid adapts through the remap
+    from mcintegration_tpu import integrate
+
+    r = integrate(f, var=Continuous(0.0, 1.0, ninc=1000), dof=[[1]],
+                  neval=2 ** 17, niter=4, solver="vegasmc",
+                  backend="pallas", nwalkers=8192, parallel="none",
+                  block=4, verbose=-2, seed=11)
+    assert r.backend == "pallas", r.backend_reason
+    g = r.config.var[0].grid
+    assert len(g) - 1 == 1000
+    assert not np.allclose(g, np.linspace(0, 1, 1001))
+    m = float(np.asarray(r.mean[0]))
+    e = float(np.asarray(r.stdev[0]))
+    assert abs(m - 1.0) < 12 * max(e, 2e-3), (m, e)
+
+
+def test_pow2_shadow_mcmc():
+    """The :mcmc scheduled kernel serves non-pow2 ninc through the same
+    shadow machinery, with XLA statistical parity."""
+    from mcintegration_tpu.solvers.mcmc import MCMCIteration
+
+    def fi(i, x, c):
+        return jnp.where(x[0] ** 2 + x[1] ** 2 < 1.0, 1.0, 0.0)
+
+    res = {}
+    for be in ("xla", "pallas"):
+        cfg = Configuration(var=Continuous(0.0, 1.0, ninc=1000),
+                            dof=[[2]], seed=5)
+        spec = Spec(cfg)
+        it = MCMCIteration(spec, fi, block=4, nevalperblock=2 ** 16,
+                           backend=be, nwalkers=4096, thermal_ratio=0.3)
+        assert it.backend == be, it.backend_reason
+        st = it.run(spec.device_params(), jax.random.key(3))
+        assert st["hists"][0].shape == (1000,)
+        m = st["obs_blocks"][:, 0] / st["norm_blocks"]
+        res[be] = (m.mean(), m.std(ddof=1) / 2)
+        assert abs(m.mean() - np.pi / 4) < 10 * max(m.std(ddof=1) / 2, 5e-3)
+    d = abs(res["xla"][0] - res["pallas"][0])
+    s = np.hypot(res["xla"][1], res["pallas"][1])
+    assert d < 7 * max(s, 5e-3), (d, s)
