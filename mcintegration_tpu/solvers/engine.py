@@ -452,6 +452,50 @@ def _overlap_matrix(gk: np.ndarray, gu: np.ndarray) -> np.ndarray:
     return M
 
 
+def pow2_affected(spec: Spec, max_ninc: int = 1024) -> dict:
+    """{leaf index: pow2 resample ninc} for Continuous leaves whose ninc
+    a lattice/stratification kernel cannot serve directly (non-power-of-
+    two, or larger than ``max_ninc``)."""
+    from ..models.variable import Continuous
+
+    affected = {}
+    for lidx, li in enumerate(spec.leaves):
+        lf = li.leaf
+        if (li.ndraw > 0 and isinstance(lf, Continuous)
+                and (lf.ninc & (lf.ninc - 1) or lf.ninc > max_ninc)):
+            ninc_k = 1
+            while ninc_k < lf.ninc and ninc_k < max_ninc:
+                ninc_k *= 2
+            affected[lidx] = ninc_k
+    return affected
+
+
+def pow2_clone(spec: Spec, affected: dict) -> Spec:
+    """A build-time Spec whose affected leaves are pow2-resampled clones
+    (the original spec is untouched; userdata is shared by reference)."""
+    import copy
+
+    from ..models.variable import Continuous
+
+    ud = spec.cfg.userdata
+    spec.cfg.userdata = None
+    try:
+        spec_k = copy.deepcopy(spec)
+    finally:
+        spec.cfg.userdata = ud
+    spec_k.cfg.userdata = ud
+    spec_k.uconfig.userdata = ud
+    for lidx, ninc_k in affected.items():
+        li = spec_k.leaves[lidx]
+        lf = li.leaf
+        clone = Continuous(lf.lower, lf.upper, lf.size, offset=lf.offset,
+                           alpha=lf.alpha, adapt=lf.adapt,
+                           grid=_resample_grid(lf.grid, ninc_k))
+        li.leaf = clone
+        li.nhist = clone.nhist
+    return spec_k
+
+
 def pow2_shadow(spec: Spec):
     """Serve non-power-of-two Continuous pools on the lattice-roll kernels.
 
@@ -480,41 +524,12 @@ def pow2_shadow(spec: Spec):
     correct) and ``remap(hists)`` converts the kernel histograms back to
     user-resolution bins.
     """
-    import copy
-
-    from ..models.variable import Continuous
     from ..ops.lookup import pack_table
 
-    affected = {}
-    for lidx, li in enumerate(spec.leaves):
-        lf = li.leaf
-        if (li.ndraw > 0 and isinstance(lf, Continuous)
-                and (lf.ninc & (lf.ninc - 1) or lf.ninc > 1024)):
-            # non-pow2 ninc, or pow2 too large for the walker tile:
-            # both sample through a <=1024-increment resample
-            ninc_k = 1
-            while ninc_k < lf.ninc and ninc_k < 1024:
-                ninc_k *= 2
-            affected[lidx] = ninc_k
+    affected = pow2_affected(spec)
     if not affected:
         return spec, None
-
-    ud = spec.cfg.userdata
-    spec.cfg.userdata = None
-    try:
-        spec_k = copy.deepcopy(spec)
-    finally:
-        spec.cfg.userdata = ud
-    spec_k.cfg.userdata = ud
-    spec_k.uconfig.userdata = ud
-    for lidx, ninc_k in affected.items():
-        li = spec_k.leaves[lidx]
-        lf = li.leaf
-        clone = Continuous(lf.lower, lf.upper, lf.size, offset=lf.offset,
-                           alpha=lf.alpha, adapt=lf.adapt,
-                           grid=_resample_grid(lf.grid, ninc_k))
-        li.leaf = clone
-        li.nhist = clone.nhist
+    spec_k = pow2_clone(spec, affected)
 
     def shadow(spec_live: Spec, params):
         params_k = dict(params)

@@ -350,8 +350,17 @@ class VegasPlusIteration:
         host from the trained float64 grids and the lane->cube map.
         """
         from ..ops import pallas_vegas, pallas_vplus
+        from .engine import pow2_affected, pow2_clone
 
         spec = self.spec
+        # non-pow2 (or >1024) Continuous grids stratify through a pow2
+        # resample of the live map (engine.pow2_shadow rationale): the
+        # kernel is built against spec_b; per-iteration table builds and
+        # histogram folds go through _vp_affected / _vp_gk below
+        self._vp_affected = pow2_affected(spec)
+        spec_b = (pow2_clone(spec, self._vp_affected)
+                  if self._vp_affected else spec)
+        self._spec_b = spec_b
         devs = (np.asarray(mesh.devices).ravel() if mesh is not None
                 else jax.devices())
         interp = devs[0].platform == "cpu"
@@ -363,7 +372,7 @@ class VegasPlusIteration:
             return False
         why: list = []
         plan = pallas_vplus.vplus_eligible(
-            spec, measure=measure, measurefreq=measurefreq,
+            spec_b, measure=measure, measurefreq=measurefreq,
             weight_dtype=weight_dtype, nevalperblock=int(nevalperblock),
             max_cubes=max_cubes, why=why)
         # on CPU the kernel runs under the (slow) TPU interpreter: take it
@@ -377,9 +386,9 @@ class VegasPlusIteration:
                 "pass backend='pallas' to force it)")
             return False
         eval_b = pallas_vegas.make_eval_batched(
-            spec, integrand, inplace, weight_dtype)
-        eval_probe = spec.make_eval(integrand, inplace, weight_dtype)
-        if not pallas_vegas.validate_batched(spec, eval_b, eval_probe):
+            spec_b, integrand, inplace, weight_dtype)
+        eval_probe = spec_b.make_eval(integrand, inplace, weight_dtype)
+        if not pallas_vegas.validate_batched(spec_b, eval_b, eval_probe):
             self.backend_reason = (
                 "the batched-integrand probe did not reproduce the "
                 "per-sample evaluation (integrand not batch-rewritable)")
@@ -406,7 +415,7 @@ class VegasPlusIteration:
             "adaptation" if coarse else "")
         B_local = block // ndev
         run_all = pallas_vplus.build_vplus_run_all(
-            spec, plan, eval_b, block=B_local, interpret=interp)
+            spec_b, plan, eval_b, block=B_local, interpret=interp)
 
         if ndev > 1:
             axis = mesh.axis_names[0]
@@ -460,10 +469,22 @@ class VegasPlusIteration:
                         for d in range(plan["D"])]
         invlf = (float(NL) / (self.lanes[cube_of_lane] * self.ncubes))
         coarse_tabs = []
+        self._vp_gk = {}
         for d, (lidx, slot) in enumerate(plan["dims"]):
             leaf = self.spec.leaves[lidx].leaf
-            k = leaf.ninc // plan["ninc_effs"][d]
-            grid_eff = leaf.grid[::k]
+            if lidx in self._vp_affected:
+                # pow2 shadow: stratify through a resample of the LIVE map
+                from .engine import _resample_grid
+                gk = self._vp_gk.get(lidx)
+                if gk is None:
+                    gk = _resample_grid(leaf.grid,
+                                        self._vp_affected[lidx])
+                    self._vp_gk[lidx] = gk
+                k = (len(gk) - 1) // plan["ninc_effs"][d]
+                grid_eff = gk[::k]
+            else:
+                k = leaf.ninc // plan["ninc_effs"][d]
+                grid_eff = leaf.grid[::k]
             tab = np.stack([grid_eff[:-1], np.diff(grid_eff)], axis=1)
             coarse_tabs.append(jnp.asarray(pack_table(tab, pad_value=1.0),
                                            jnp.float32))
@@ -518,14 +539,24 @@ class VegasPlusIteration:
             lidx, _ = plan["dims"][d]
             R = plan["Rs"][d]
             ninc_eff = plan["ninc_effs"][d]
-            k = self.spec.leaves[lidx].leaf.ninc // ninc_eff
             h = np.asarray(hd, dtype=np.float64)  # [R_PAD, NL]
             heff = np.zeros(ninc_eff)
             coords = self._coords[d]
             for r in range(R):
                 heff += np.bincount(coords * R + r, weights=h[r],
                                     minlength=ninc_eff)
-            hists[lidx] += np.repeat(heff / k, k)
+            if lidx in self._vp_affected:
+                # pow2 shadow: smear to the resampled pow2 grid, then
+                # redistribute onto the user's bins by interval overlap
+                from .engine import _overlap_matrix
+                gk = self._vp_gk[lidx]
+                ninc_k = len(gk) - 1
+                k = ninc_k // ninc_eff
+                M = _overlap_matrix(gk, self.spec.leaves[lidx].leaf.grid)
+                hists[lidx] += M @ np.repeat(heff / k, k)
+            else:
+                k = self.spec.leaves[lidx].leaf.ninc // ninc_eff
+                hists[lidx] += np.repeat(heff / k, k)
 
         self._reallocate_lanes(sig_flat)
         norm_b = np.full(self.block, float(plan["NL"] * plan["spp"]))

@@ -185,3 +185,29 @@ def test_discrete_passenger_with_padding():
                     dof=[[1, 0], [2, 1]], neval=2e5, niter=8,
                     solver="vegasplus", verbose=-2, seed=7)
     check(res, [0.5, 2.5])
+
+
+def test_vplus_pow2_shadow_nonpow2_ninc():
+    """Non-pow2 (and >1024) Continuous grids stratify at full resolution
+    through the pow2 shadow resample (round 5): ninc=1000 previously
+    limited nstrat to the pow2 divisors of 1000 (max 8), collapsing the
+    cube budget; now the kernel stratifies the resampled 1024-increment
+    map and the training histogram flows back to the user's 1000 bins."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcintegration_tpu import Continuous, integrate
+
+    f = lambda x, c: -jnp.log(jnp.maximum(x[0], 1e-30)) \
+        / jnp.sqrt(jnp.maximum(x[0], 1e-30)) / 4.0
+    r = integrate(f, var=Continuous(0.0, 1.0, ninc=1000), dof=[[1]],
+                  neval=2 ** 17, niter=4, solver="vegasplus",
+                  backend="pallas", parallel="none", verbose=-2, seed=11)
+    assert r.backend == "pallas", r.backend_reason
+    it_nstrat = None
+    g = r.config.var[0].grid
+    assert len(g) - 1 == 1000                      # user resolution kept
+    assert not np.allclose(g, np.linspace(0, 1, 1001))   # and adapted
+    m = float(np.asarray(r.mean[0]))
+    e = float(np.asarray(r.stdev[0]))
+    assert abs(m - 1.0) < 10 * max(e, 1e-4), (m, e)
