@@ -263,3 +263,42 @@ def test_fuzz_vegas(case_idx):
     _, mX, eX = results["xla"]
     if be_p == "pallas" and mP is not None and mX is not None:
         _parity(mP, eP, mX, eX)
+
+
+@pytest.mark.parametrize("case_idx", range(FUZZ_N))
+def test_fuzz_vegasplus(case_idx):
+    """The :vegasplus solver over the same random spec pool.  Specs it
+    declares unsupported (pure-Discrete, >10 stratified dims) are skipped
+    via its own NotImplementedError; everything else must route
+    consistently, run deterministically, and agree across backends."""
+    from mcintegration_tpu.solvers.vegasplus import VegasPlusIteration
+
+    rng = np.random.default_rng(FUZZ_SEED + 1000 * case_idx + 13)
+    pools, dof, cplx, mf = sample_spec(rng)
+    cfg = Configuration(var=pools, dof=dof, seed=int(rng.integers(1, 2**31)),
+                        **({"type": complex} if cplx else {}))
+    spec = Spec(cfg)
+    f = make_integrand(spec, cplx, False, case_idx)
+    wd = jnp.complex64 if cplx else jnp.float32
+
+    results = {}
+    for be in ("xla", "pallas"):
+        try:
+            its = [VegasPlusIteration(spec, f, backend=be, block=4,
+                                      nevalperblock=2 ** 13,
+                                      measurefreq=mf, weight_dtype=wd)
+                   for _ in range(2)]
+        except NotImplementedError as e:
+            pytest.skip(f"spec unsupported by :vegasplus: {e}")
+        assert its[0].backend == its[1].backend, \
+            (be, its[0].backend_reason, its[1].backend_reason)
+        sts = [it.run(spec.device_params(), jax.random.key(11))
+               for it in its]
+        np.testing.assert_array_equal(np.asarray(sts[0]["obs_blocks"]),
+                                      np.asarray(sts[1]["obs_blocks"]))
+        results[be] = (its[0].backend, *_estimate(sts[0], spec.N, cplx))
+
+    be_p, mP, eP = results["pallas"]
+    _, mX, eX = results["xla"]
+    if be_p == "pallas" and mP is not None and mX is not None:
+        _parity(mP, eP, mX, eX)
