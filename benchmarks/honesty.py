@@ -47,13 +47,22 @@ def _pi(x, c):
     return jnp.where(x[0] ** 2 + x[1] ** 2 < 1.0, 1.0, 0.0)
 
 
-def honesty(nsteps: int, nseeds: int, nwalkers: int = 8192, block: int = 8):
+def honesty(nsteps: int, nseeds: int, nwalkers: int = 8192, block: int = 8,
+            solver: str = "vegasmc"):
     cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=1)
     spec = Spec(cfg)
-    it = VegasMCIteration(spec, _pi, block=block,
-                          nevalperblock=nwalkers * nsteps // block,
-                          backend="pallas", nwalkers=nwalkers)
-    assert it.backend == "pallas", "chain kernel not eligible on this config"
+    if solver == "mcmc":
+        from mcintegration_tpu.solvers.mcmc import MCMCIteration
+
+        it = MCMCIteration(spec, lambda i, x, c: _pi(x, c), block=block,
+                           nevalperblock=nwalkers * nsteps // block,
+                           backend="pallas", nwalkers=nwalkers,
+                           thermal_ratio=0.2)
+    else:
+        it = VegasMCIteration(spec, _pi, block=block,
+                              nevalperblock=nwalkers * nsteps // block,
+                              backend="pallas", nwalkers=nwalkers)
+    assert it.backend == "pallas", "fused kernel not eligible on this config"
     means, errs = [], []
     t0 = time.time()
     for seed in range(nseeds):

@@ -515,6 +515,8 @@ def integrate(integrand: Callable, *,
     result = Result(results, ignore, config=config)
     result.backend = run_backend
     result.backend_reason = backend_reason
+    result.wall_time = time.time() - start
+    result.evals_per_s = result.neval / max(result.wall_time, 1e-12)
     if verbose >= 0:
         report(result)
         if verbose > 0:

@@ -135,14 +135,19 @@ class Result:
     ``chi2`` (reduced), ``neval``, ``ignore``, ``config`` and the full
     per-iteration ``iterations`` history.
 
-    TPU extension: ``backend`` records which compute path produced the
+    TPU extensions: ``backend`` records which compute path produced the
     result ('pallas' = fused TPU kernel, 'xla' = portable pipeline, None =
     constructed outside ``integrate``); on an XLA fallback from a solver
     with a fused kernel, ``backend_reason`` is a one-line explanation.
+    ``wall_time`` (seconds) and ``evals_per_s`` record the end-to-end
+    timing of the producing ``integrate`` call (including compilation on
+    a first call — compare a cached repeat for the sustained rate).
     """
 
     backend = None          # set by integrate()
     backend_reason = ""
+    wall_time = None
+    evals_per_s = None
 
     def __init__(self, history_or_result, ignore: int = 0, config=None):
         if isinstance(history_or_result, Result):
@@ -154,6 +159,8 @@ class Result:
                 config = prev.config
             self.backend = prev.backend
             self.backend_reason = prev.backend_reason
+            self.wall_time = prev.wall_time
+            self.evals_per_s = prev.evals_per_s
             history_or_result = prev.iterations
         history = list(history_or_result)
         assert len(history) > 0
