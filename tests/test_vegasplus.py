@@ -204,7 +204,6 @@ def test_vplus_pow2_shadow_nonpow2_ninc():
                   neval=2 ** 17, niter=4, solver="vegasplus",
                   backend="pallas", parallel="none", verbose=-2, seed=11)
     assert r.backend == "pallas", r.backend_reason
-    it_nstrat = None
     g = r.config.var[0].grid
     assert len(g) - 1 == 1000                      # user resolution kept
     assert not np.allclose(g, np.linspace(0, 1, 1001))   # and adapted
