@@ -28,7 +28,11 @@ reproducible for a fixed seed on the same backend.
 
 Eligibility (checked by solvers/vegas.py, which falls back to XLA):
 every drawn leaf Continuous + stratifiable with one shared bin count,
-measure=None, measurefreq=1, real weights, modest VMEM footprint.
+measurefreq=1, real weights, modest VMEM footprint.  Real custom
+measures run in-kernel (round 5): one batched measure call per chunk on
+the relative weights w_i*pad_i*jac, components Kahan-accumulated in
+SMEM with padded strata rows masked out; complex observable components
+stay on the XLA path.
 """
 
 from __future__ import annotations
@@ -284,7 +288,7 @@ def pick_m_tile(spec, nb: int, m_avail: int) -> int:
 
 
 def eligible(spec, plans, *, measure, measurefreq, weight_dtype,
-             m_tile_cap=128, why=None) -> bool:
+             m_tile_cap=128, why=None, obs_proto=None) -> bool:
     """Can the Pallas fast path run this spec? (conservative static checks)
 
     ``why``: optional list; on a False return, a one-line human-readable
@@ -294,8 +298,6 @@ def eligible(spec, plans, *, measure, measurefreq, weight_dtype,
             why.append(reason)
         return False
 
-    if measure is not None:
-        return no("custom measure functions run on the XLA :vegas path")
     if measurefreq != 1:
         return no(f"measurefreq={measurefreq} != 1 runs on the XLA path")
     # kernel accumulators (obs SMEM rows, Kahan compensation, histograms)
@@ -303,6 +305,18 @@ def eligible(spec, plans, *, measure, measurefreq, weight_dtype,
     if weight_dtype != jnp.float32:
         return no(f"weight dtype {jnp.dtype(weight_dtype).name} (kernel "
                   "accumulators are float32; complex :vegas runs on XLA)")
+    if measure is not None:
+        # real custom measures run in-kernel (round 5, same machinery as
+        # the chain kernel); complex observable components stay on XLA
+        from .pallas_chain import MAX_MEASURE_COMPONENTS, obs_components
+        import jax.tree_util as jtu
+
+        if any(np.iscomplexobj(x) for x in jtu.tree_leaves(obs_proto)):
+            return no("complex measure observables run on the XLA path")
+        ncomp = obs_components(obs_proto)
+        if ncomp > MAX_MEASURE_COMPONENTS:
+            return no(f"{ncomp} observable components > "
+                      f"{MAX_MEASURE_COMPONENTS} (accumulator budget)")
     drawn = [(li, plan) for li, plan in zip(spec.leaves, plans) if li.ndraw > 0]
     if not drawn:
         return no("no MC-owned slots to draw")
@@ -327,7 +341,8 @@ def eligible(spec, plans, *, measure, measurefreq, weight_dtype,
 
 
 def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
-                  m_tile: int, interpret: bool = False):
+                  m_tile: int, interpret: bool = False,
+                  measure_b=None, obs_proto=None):
     """Return run_all(params, kd[B,2] uint32) -> (obs [B,N], norm [B], hists).
 
     Drop-in replacement for the XLA run_all of VegasIteration (same output
@@ -346,6 +361,15 @@ def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
     used = np.asarray(spec.mask_used)[:n]            # [n, nvar, mm] static
     adapt_leaves = [i for i in dleaf if getattr(leaves[i].leaf, "adapt", False)]
     f32 = jnp.float32
+
+    # flattened observable components (custom measure path, real-only —
+    # complex obs are gated to XLA by eligible())
+    if measure_b is not None:
+        proto_leaves, proto_def = jax.tree_util.tree_flatten(obs_proto)
+        comp_shapes = [np.shape(x) for x in proto_leaves]
+        ncomp = sum(max(int(np.prod(s)), 1) for s in comp_shapes)
+    else:
+        ncomp = n
 
     # per-kernel-slot multiplier tables, stacked [nslots, N_MULT]
     a_tab_np = np.stack([np.asarray(plans[lidx]["a_tab"])[s]
@@ -431,21 +455,11 @@ def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
         # obs lives in SMEM (scalar accumulators, dynamic row = block id)
         @pl.when(t == 0)
         def _():
-            for i in range(n):
+            for i in range(ncomp):
                 obs_ref[b, i] = 0.0
                 comp_ref[b, i] = 0.0
 
-        for i in range(n):
-            factor = jac * rowmask
-            if not spec.pad_trivial[i]:
-                for gi in range(spec.nvar):
-                    for slot in range(spec.cfg.dof[i][gi], spec.maxdof[gi]):
-                        factor = factor * gprob[(gi, slot)]
-            # staged reduction: row sums first, then across strata —
-            # a flat f32 sum over ~1M elements accumulates O(sqrt(N) ulp)
-            # rounding bias (measured -7e-5 at m_tile=1024)
-            rowsum = jnp.sum(weights[i] * factor, axis=1, keepdims=True)
-            contrib = jnp.sum(rowsum)
+        def kadd_smem(i, contrib):
             # Kahan across chunks: one heavy-tailed sample (singular
             # integrands) would otherwise absorb every later chunk's sum
             # (the XLA path uses ops/ksum.py for the same reason)
@@ -453,6 +467,40 @@ def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
             tt = obs_ref[b, i] + y
             comp_ref[b, i] = (tt - obs_ref[b, i]) - y
             obs_ref[b, i] = tt
+
+        factors = []
+        for i in range(n):
+            factor = jac * rowmask
+            if not spec.pad_trivial[i]:
+                for gi in range(spec.nvar):
+                    for slot in range(spec.cfg.dof[i][gi], spec.maxdof[gi]):
+                        factor = factor * gprob[(gi, slot)]
+            factors.append(factor)
+
+        if measure_b is None:
+            for i in range(n):
+                # staged reduction: row sums first, then across strata —
+                # a flat f32 sum over ~1M elements accumulates O(sqrt(N)
+                # ulp) rounding bias (measured -7e-5 at m_tile=1024)
+                rowsum = jnp.sum(weights[i] * factors[i], axis=1,
+                                 keepdims=True)
+                kadd_smem(i, jnp.sum(rowsum))
+        else:
+            # custom measure (round 5): one batched call per chunk on the
+            # relative weights w_i * pad_i * jac; padded strata rows are
+            # masked out of every component (a real sample never sits
+            # there, so even relw-independent measure terms stay exact)
+            relws = [weights[i] * factors[i] for i in range(n)]
+            contrib_tree = measure_b(leaf_vals, relws)
+            k = 0
+            for leafv, shape in zip(
+                    jax.tree_util.tree_leaves(contrib_tree), comp_shapes):
+                comps = ([leafv] if shape == () else
+                         [leafv[idxs] for idxs in np.ndindex(shape)])
+                for comp in comps:
+                    rowsum = jnp.sum(comp * rowmask, axis=1, keepdims=True)
+                    kadd_smem(k, jnp.sum(rowsum))
+                    k += 1
 
         # ---- histograms: slot weight (|w_i| jac)^2 summed over users ----
         if adapt_leaves:
@@ -499,7 +547,7 @@ def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),               # atab
         ] + [pl.BlockSpec((L, L), lambda bb, tt: (0, 0),
                           memory_space=pltpu.VMEM)] * (2 * len(dleaf))
-        out_shape = [jax.ShapeDtypeStruct((B, n), jnp.float32)] + [
+        out_shape = [jax.ShapeDtypeStruct((B, ncomp), jnp.float32)] + [
             jax.ShapeDtypeStruct((L, L), jnp.float32) for _ in adapt_leaves]
         out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
             pl.BlockSpec((L, L), lambda bb, tt: (0, 0),
@@ -511,7 +559,7 @@ def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
             in_specs=in_specs,
             out_shape=out_shape,
             out_specs=out_specs,
-            scratch_shapes=[pltpu.SMEM((B, n), jnp.float32)],
+            scratch_shapes=[pltpu.SMEM((B, ncomp), jnp.float32)],
             # CPU tests run under the TPU-semantics interpreter
             # (InterpretParams).  That interpreter executes through host
             # callbacks, which DEADLOCK under a multi-process
@@ -528,6 +576,14 @@ def build_run_all(spec, plans, eval_batched: Callable, *, nchunks: int,
         )(kd, atab, *tabs)
 
         obs_b = outs[0]
+        if measure_b is not None:
+            # rebuild the observable pytree with leading [block] axis
+            cols, k = [], 0
+            for shape in comp_shapes:
+                m = max(int(np.prod(shape)), 1)
+                cols.append(obs_b[:, k:k + m].reshape((B,) + shape))
+                k += m
+            obs_b = jax.tree_util.tree_unflatten(proto_def, cols)
         hist_out = {lidx: h for lidx, h in zip(adapt_leaves, outs[1:])}
         hists = []
         for lidx, li in enumerate(leaves):

@@ -137,16 +137,18 @@ class VegasIteration:
         if backend == "xla":
             self.backend_reason = "backend='xla' requested"
         if backend in ("auto", "pallas"):
-            from ..ops import pallas_vegas
+            from ..ops import pallas_chain, pallas_vegas
             why: list = []
             if pallas_vegas.eligible(spec, plans, measure=measure,
                                      measurefreq=measurefreq,
-                                     weight_dtype=weight_dtype, why=why):
+                                     weight_dtype=weight_dtype, why=why,
+                                     obs_proto=obs_proto):
                 devs = (np.asarray(mesh.devices).ravel() if mesh is not None
                         else jax.devices())
                 interp = devs[0].platform == "cpu"
                 eval_b = pallas_vegas.make_eval_batched(
                     spec, integrand, inplace, weight_dtype)
+                measure_b = None
                 ok = backend == "pallas" or not interp
                 if not ok:
                     self.backend_reason = (
@@ -158,6 +160,18 @@ class VegasIteration:
                         "the batched-integrand probe did not reproduce the "
                         "per-sample evaluation (integrand not "
                         "batch-rewritable)")
+                if ok and measure is not None:
+                    # custom measures in-kernel (round 5): same convention
+                    # and machinery as the chain kernel
+                    measure_b = pallas_chain.make_measure_batched(
+                        spec, measure, weight_dtype, obs_proto)
+                    if not pallas_chain.validate_measure_batched(
+                            spec, measure_b, measure, obs_proto):
+                        ok = False
+                        self.backend_reason = (
+                            "the batched custom-measure probe did not "
+                            "reproduce the per-sample evaluation (measure "
+                            "not batch-rewritable)")
                 if ok:
                     nb0 = next(p["nb"] for li, p in zip(spec.leaves, plans)
                                if li.ndraw > 0 and p is not None)
@@ -177,7 +191,8 @@ class VegasIteration:
                     self.nevalperblock = self.chunk * self.nchunks
                     pallas_run_all = pallas_vegas.build_run_all(
                         spec, plans, eval_b, nchunks=self.nchunks,
-                        m_tile=m_tile, interpret=interp)
+                        m_tile=m_tile, interpret=interp,
+                        measure_b=measure_b, obs_proto=obs_proto)
                     self.backend = "pallas"
                     self.backend_reason = ""
             else:

@@ -975,3 +975,54 @@ def test_pow2_shadow_mcmc():
     d = abs(res["xla"][0] - res["pallas"][0])
     s = np.hypot(res["xla"][1], res["pallas"][1])
     assert d < 7 * max(s, 5e-3), (d, s)
+
+
+def test_vegas_pallas_custom_measure():
+    """Real custom measures run inside the fused :vegas kernel (round 5):
+    one batched measure call per chunk on the relative weights
+    w_i*pad_i*jac, padded strata rows masked out of every component;
+    vector observable binned by a quartile index vs exact + XLA parity."""
+    from mcintegration_tpu import onehot
+
+    def f(x, c):
+        return x[0] * x[1]
+
+    def meas(v, relw, c):
+        q = jnp.clip((v[0] * 4).astype(jnp.int32), 0, 3)
+        return [onehot(q, 0, 3, relw[0].dtype) * relw[0]]
+
+    exact = np.array([(2 * k + 1) / 64.0 for k in range(4)])
+    res = {}
+    for be in ("xla", "pallas"):
+        cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=5,
+                            obs=[np.zeros(4)])
+        spec = Spec(cfg)
+        it = VegasIteration(spec, f, block=8, nevalperblock=2 ** 15,
+                            backend=be, measure=meas,
+                            obs_proto=[np.zeros(4)])
+        assert it.backend == be, it.backend_reason
+        st = it.run(spec.device_params(), jax.random.key(3))
+        ob = np.asarray(st["obs_blocks"][0])
+        nb = np.asarray(st["norm_blocks"])[:, None]
+        m = ob / nb
+        mean, err = m.mean(axis=0), m.std(axis=0, ddof=1) / np.sqrt(len(m))
+        res[be] = (mean, err)
+        for k in range(4):
+            assert abs(mean[k] - exact[k]) < 10 * max(err[k], 1e-4), \
+                (be, k, mean[k], exact[k], err[k])
+    d = np.abs(res["xla"][0] - res["pallas"][0])
+    s = np.hypot(res["xla"][1], res["pallas"][1])
+    assert (d < 7 * np.maximum(s, 1e-4)).all(), (d, s)
+
+    # a measure that fails the equivalence probe still routes to XLA
+    def bad(v, relw, c):
+        return [jnp.full((4,), jnp.sum(relw[0]))]
+
+    cfg = Configuration(var=Continuous(0.0, 1.0), dof=[[2]], seed=5,
+                        obs=[np.zeros(4)])
+    spec = Spec(cfg)
+    it = VegasIteration(spec, f, block=8, nevalperblock=2 ** 15,
+                        backend="pallas", measure=bad,
+                        obs_proto=[np.zeros(4)])
+    assert it.backend == "xla"
+    assert "measure" in it.backend_reason
