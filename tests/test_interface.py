@@ -247,13 +247,14 @@ def test_result_backend_surfaced():
     assert res.backend == "xla"
     assert res.backend_reason  # a human-readable explanation is recorded
 
-    # custom measure: a structural reason
-    def ms(vars, relw, c):
-        return [relw[0]]
+    # real custom measures run in-kernel since round 5; a measure that
+    # fails the batched-equivalence probe reports a measure reason
+    def ms_bad(vars, relw, c):
+        return [jnp.zeros(()) + jnp.sum(relw[0])]   # couples samples
 
     res2 = integrate(lambda x, c: x[0], var=Continuous(0.0, 1.0), dof=[[1]],
-                     neval=4096, niter=2, solver="vegas", verbose=-2, seed=5,
-                     measure=ms, obs=[0.0], backend="pallas")
+                     neval=2 ** 19, niter=2, solver="vegas", verbose=-2,
+                     seed=5, measure=ms_bad, obs=[0.0], backend="pallas")
     assert res2.backend == "xla"
     assert "measure" in res2.backend_reason
 
